@@ -1,0 +1,380 @@
+"""ASR pre-training encoder: SincNet/conv front-end + hierarchical bi-GRUs.
+
+Rebuild of the reference ``PretrainedModel`` (reference ``models.py:170-361``)
+as a declarative :class:`EncoderArch` + pure ``init``/``apply`` functions.
+
+The architecture is a flat list of layer specs whose ``index`` fields mirror
+the reference's ``torch.nn.ModuleList`` construction order exactly
+(``models.py:180-286``), so PyTorch ``model_state.pth`` keys such as
+``phoneme_layers.14.weight_ih_l0`` map directly onto our param tree
+(``params["phoneme_layers"]["14"]["fwd"]["w_ih"]``). See SURVEY.md §2 for the
+full key layout.
+
+Default-config stack (no_unfreezing.cfg): sinc(1→80, k401, s80) + |·| + pool2;
+conv(80→60, k5) ×2; two bi-GRU(→2×128) + avg-pool-2 stages → 25 Hz phoneme
+frames; two more bi-GRU + avg-pool-2 stages → 6.25 Hz word frames. ~3.66 M
+params.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_slu import ops
+from tpu_slu.ops.sinc import mel_init, sinc_conv
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerSpec:
+    kind: str  # sinc|conv|abs|pool|act|dropout|ncl2nlc|gru|select|downsample
+    index: int  # ModuleList position (torch checkpoint key index)
+    name: str
+    h: tuple  # static hyperparameters, kind-specific
+
+
+def _conv_block_specs(config, start: int) -> tuple[list[LayerSpec], int]:
+    """Front-end conv stack specs, reference models.py:180-225."""
+    specs: list[LayerSpec] = []
+    i = start
+    n_conv = len(config.cnn_N_filt)
+    for idx in range(n_conv):
+        if idx == 0:
+            if config.use_sincnet:
+                specs.append(
+                    LayerSpec(
+                        "sinc", i, f"sinc{idx}",
+                        (config.cnn_N_filt[idx], config.cnn_len_filt[idx], config.fs,
+                         config.cnn_stride[idx], config.cnn_len_filt[idx] // 2),
+                    )
+                )
+            else:
+                specs.append(
+                    LayerSpec(
+                        "conv", i, f"conv{idx}",
+                        (1, config.cnn_N_filt[idx], config.cnn_len_filt[idx],
+                         config.cnn_stride[idx], config.cnn_len_filt[idx] // 2),
+                    )
+                )
+            i += 1
+            specs.append(LayerSpec("abs", i, f"abs{idx}", ()))
+            i += 1
+        else:
+            specs.append(
+                LayerSpec(
+                    "conv", i, f"conv{idx}",
+                    (config.cnn_N_filt[idx - 1], config.cnn_N_filt[idx],
+                     config.cnn_len_filt[idx], config.cnn_stride[idx],
+                     config.cnn_len_filt[idx] // 2),
+                )
+            )
+            i += 1
+        specs.append(LayerSpec("pool", i, f"pool{idx}", (config.cnn_max_pool_len[idx],)))
+        i += 1
+        specs.append(LayerSpec("act", i, f"act{idx}", (config.cnn_act[idx],)))
+        i += 1
+        specs.append(LayerSpec("dropout", i, f"dropout{idx}", (config.cnn_drop[idx],)))
+        i += 1
+    return specs, i
+
+
+def _rnn_block_specs(
+    prefix: str, start: int, in_dim: int, hiddens, drops, ds_types, ds_lens, bidirectional
+) -> tuple[list[LayerSpec], int, int]:
+    """bi-GRU -> select -> dropout -> downsample blocks, models.py:230-285."""
+    specs: list[LayerSpec] = []
+    i = start
+    out_dim = in_dim
+    for idx, hidden in enumerate(hiddens):
+        specs.append(LayerSpec("gru", i, f"{prefix}_rnn{idx}", (out_dim, hidden, bidirectional)))
+        i += 1
+        out_dim = hidden * (2 if bidirectional else 1)
+        specs.append(LayerSpec("select", i, f"{prefix}_rnn_select{idx}", ()))
+        i += 1
+        specs.append(LayerSpec("dropout", i, f"{prefix}_dropout{idx}", (drops[idx],)))
+        i += 1
+        specs.append(LayerSpec("downsample", i, f"{prefix}_downsample{idx}", (ds_types[idx], ds_lens[idx])))
+        i += 1
+    return specs, i, out_dim
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderArch:
+    """Static architecture description derived from a Config."""
+
+    phoneme_layers: tuple[LayerSpec, ...]
+    word_layers: tuple[LayerSpec, ...]
+    phoneme_feat_dim: int  # output dim after phoneme_layers
+    word_feat_dim: int  # output dim after word_layers
+    num_phonemes: int
+    vocabulary_size: int
+    pretraining_type: int
+
+    @staticmethod
+    def from_config(config) -> "EncoderArch":
+        conv_specs, i = _conv_block_specs(config, 0)
+        conv_specs.append(LayerSpec("ncl2nlc", i, "ncl2nlc", ()))
+        i += 1
+        rnn_specs, i, phone_dim = _rnn_block_specs(
+            "phone", i, config.cnn_N_filt[-1],
+            config.phone_rnn_num_hidden, config.phone_rnn_drop,
+            config.phone_downsample_type, config.phone_downsample_len,
+            config.phone_rnn_bidirectional,
+        )
+        word_specs, _, word_dim = _rnn_block_specs(
+            "word", 0, phone_dim,
+            config.word_rnn_num_hidden, config.word_rnn_drop,
+            config.word_downsample_type, config.word_downsample_len,
+            config.word_rnn_bidirectional,
+        )
+        return EncoderArch(
+            phoneme_layers=tuple(conv_specs + rnn_specs),
+            word_layers=tuple(word_specs),
+            phoneme_feat_dim=phone_dim,
+            word_feat_dim=word_dim,
+            num_phonemes=int(config.require("num_phonemes")),
+            vocabulary_size=config.vocabulary_size,
+            pretraining_type=config.pretraining_type,
+        )
+
+    def param_layer_specs(self):
+        """(group, spec) for every spec that owns parameters, in order."""
+        for group, specs in (("phoneme_layers", self.phoneme_layers), ("word_layers", self.word_layers)):
+            for s in specs:
+                if s.kind in ("sinc", "conv", "gru"):
+                    yield group, s
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+
+def _linear_init(key, in_dim: int, out_dim: int):
+    """torch Linear default: U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for w and b."""
+    bound = 1.0 / np.sqrt(in_dim)
+    kw, kb = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(kw, (in_dim, out_dim), jnp.float32, -bound, bound),
+        "b": jax.random.uniform(kb, (out_dim,), jnp.float32, -bound, bound),
+    }
+
+
+def _conv_init(key, spec: LayerSpec):
+    cin, cout, k, _, _ = spec.h
+    bound = 1.0 / np.sqrt(cin * k)
+    kw, kb = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(kw, (cout, cin, k), jnp.float32, -bound, bound),
+        "b": jax.random.uniform(kb, (cout,), jnp.float32, -bound, bound),
+    }
+
+
+def _layer_init(key, spec: LayerSpec):
+    if spec.kind == "sinc":
+        n_filt, _, fs, _, _ = spec.h
+        b1, band = mel_init(n_filt, fs)
+        return {"filt_b1": jnp.asarray(b1), "filt_band": jnp.asarray(band)}
+    if spec.kind == "conv":
+        return _conv_init(key, spec)
+    if spec.kind == "gru":
+        in_dim, hidden, bidir = spec.h
+        return ops.gru_init(key, in_dim, hidden, bidir)
+    raise ValueError(spec.kind)
+
+
+def init_encoder_params(key, arch: EncoderArch) -> dict:
+    params: dict[str, Any] = {"phoneme_layers": {}, "word_layers": {}}
+    param_specs = list(arch.param_layer_specs())
+    keys = jax.random.split(key, len(param_specs) + 2)
+    for k, (group, spec) in zip(keys[:-2], param_specs):
+        params[group][str(spec.index)] = _layer_init(k, spec)
+    params["phoneme_linear"] = _linear_init(keys[-2], arch.phoneme_feat_dim, arch.num_phonemes)
+    params["word_linear"] = _linear_init(keys[-1], arch.word_feat_dim, arch.vocabulary_size)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+
+def _apply_stack(group_params, specs, out, *, train: bool, rng, gru_impl: str):
+    """Run a LayerSpec stack. Conv specs take (B, C, T); RNN specs (B, T, C)."""
+    for spec in specs:
+        if spec.kind == "sinc":
+            p = group_params[str(spec.index)]
+            _, filt_dim, fs, stride, pad = spec.h
+            out = sinc_conv(p["filt_b1"], p["filt_band"], out, filt_dim, fs, stride, pad)
+        elif spec.kind == "conv":
+            p = group_params[str(spec.index)]
+            _, _, _, stride, pad = spec.h
+            out = ops.conv1d(out, p["w"], p["b"], stride=stride, padding=pad)
+        elif spec.kind == "abs":
+            out = jnp.abs(out)
+        elif spec.kind == "pool":
+            out = ops.max_pool1d_ceil(out, spec.h[0])
+        elif spec.kind == "act":
+            out = ops.leaky_relu(out, 0.2) if spec.h[0] == "leaky_relu" else jax.nn.relu(out)
+        elif spec.kind == "dropout":
+            p_drop = spec.h[0]
+            if train and p_drop > 0.0:
+                rng, sub = jax.random.split(rng)
+                keep = jax.random.bernoulli(sub, 1.0 - p_drop, out.shape)
+                out = jnp.where(keep, out / (1.0 - p_drop), 0.0)
+        elif spec.kind == "ncl2nlc":
+            out = jnp.swapaxes(out, 1, 2)  # (B, C, T) -> (B, T, C)
+        elif spec.kind == "gru":
+            out = ops.gru_apply(group_params[str(spec.index)], out, impl=gru_impl)
+        elif spec.kind == "select":
+            pass  # gru_apply already returns the output sequence
+        elif spec.kind == "downsample":
+            out = ops.downsample(out, spec.h[0], spec.h[1], time_axis=1)
+        else:
+            raise ValueError(spec.kind)
+    return out, rng
+
+
+def encoder_phoneme_features(params, arch: EncoderArch, x, *, train=False, rng=None, gru_impl="scan"):
+    """x: (B, T) waveform -> (B, T/phone_ds, phoneme_feat_dim) @25 Hz."""
+    out = x[:, None, :]
+    out, _ = _apply_stack(
+        params["phoneme_layers"], arch.phoneme_layers, out, train=train, rng=rng, gru_impl=gru_impl
+    )
+    return out
+
+
+def encoder_features(params, arch: EncoderArch, x, *, train=False, rng=None, gru_impl="scan"):
+    """Full encoder: (B, T) waveform -> (B, T/word_ds, word_feat_dim) @6.25 Hz.
+
+    Equivalent of reference ``PretrainedModel.compute_features`` (models.py:349-361).
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    out = x[:, None, :]
+    out, rng = _apply_stack(
+        params["phoneme_layers"], arch.phoneme_layers, out, train=train, rng=rng, gru_impl=gru_impl
+    )
+    out, _ = _apply_stack(
+        params["word_layers"], arch.word_layers, out, train=train, rng=rng, gru_impl=gru_impl
+    )
+    return out
+
+
+def encoder_posteriors(params, arch: EncoderArch, x, *, gru_impl="scan"):
+    """(phoneme_logits, word_logits) — reference ``compute_posteriors`` (models.py:333-347)."""
+    out = x[:, None, :]
+    out, _ = _apply_stack(
+        params["phoneme_layers"], arch.phoneme_layers, out, train=False, rng=None, gru_impl=gru_impl
+    )
+    phoneme_logits = out @ params["phoneme_linear"]["w"] + params["phoneme_linear"]["b"]
+    out, _ = _apply_stack(
+        params["word_layers"], arch.word_layers, out, train=False, rng=None, gru_impl=gru_impl
+    )
+    word_logits = out @ params["word_linear"]["w"] + params["word_linear"]["b"]
+    return phoneme_logits, word_logits
+
+
+def _masked_frame_ce(logits, y):
+    """Frame-wise cross-entropy with ignore_index=-1 (reference models.py:312-314).
+
+    logits: (B, T, C), y: (B, T) int32 with -1 = ignore.
+    Returns (mean_loss, accuracy) over valid frames.
+    """
+    valid = y != -1
+    y_safe = jnp.where(valid, y, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, y_safe[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(valid.sum(), 1)
+    loss = jnp.where(valid, nll, 0.0).sum() / denom
+    pred = jnp.argmax(logits, axis=-1)
+    acc = jnp.where(valid, (pred == y_safe).astype(jnp.float32), 0.0).sum() / denom
+    return loss, acc
+
+
+def encoder_loss(params, arch: EncoderArch, x, y_phoneme, y_word, *, train=False, rng=None,
+                 gru_impl="scan"):
+    """ASR pre-training losses, reference ``PretrainedModel.forward`` (models.py:291-331).
+
+    Returns (phoneme_loss, word_loss, phoneme_acc, word_acc). Labels are
+    frame-aligned at the phoneme (25 Hz) / word (6.25 Hz) rates and padded
+    with -1 (ignored). When ``pretraining_type == 1`` the word branch is
+    skipped (zeros returned), matching models.py:317-319.
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    out = x[:, None, :]
+    out, rng = _apply_stack(
+        params["phoneme_layers"], arch.phoneme_layers, out, train=train, rng=rng, gru_impl=gru_impl
+    )
+    # Label streams are host-cropped to the exact frame count; guard against
+    # off-by-one between conv ceil lengths and label striding by trimming.
+    t = min(out.shape[1], y_phoneme.shape[1])
+    phoneme_logits = out[:, :t] @ params["phoneme_linear"]["w"] + params["phoneme_linear"]["b"]
+    phoneme_loss, phoneme_acc = _masked_frame_ce(phoneme_logits, y_phoneme[:, :t])
+
+    if arch.pretraining_type == 1:
+        zero = jnp.zeros((), jnp.float32)
+        return phoneme_loss, zero, phoneme_acc, zero
+
+    out, _ = _apply_stack(
+        params["word_layers"], arch.word_layers, out, train=train, rng=rng, gru_impl=gru_impl
+    )
+    t = min(out.shape[1], y_word.shape[1])
+    word_logits = out[:, :t] @ params["word_linear"]["w"] + params["word_linear"]["b"]
+    word_loss, word_acc = _masked_frame_ce(word_logits, y_word[:, :t])
+    return phoneme_loss, word_loss, phoneme_acc, word_acc
+
+
+# ---------------------------------------------------------------------------
+# Stateful facade
+# ---------------------------------------------------------------------------
+
+
+class PretrainedModel:
+    """Facade with the reference ``PretrainedModel`` API (models.py:170-361).
+
+    Holds a param pytree + static arch; all compute is jitted pure functions.
+    """
+
+    def __init__(self, config, params=None, seed: int | None = None):
+        self.config = config
+        if not hasattr(config, "num_phonemes"):
+            # Mirror the reference default when no phonemes.txt exists yet:
+            # models need *some* head size; reference would crash here, we
+            # default to the canonical 42-phoneme set size.
+            config.num_phonemes = 42
+        self.arch = EncoderArch.from_config(config)
+        key = jax.random.PRNGKey(config.seed if seed is None else seed)
+        self.params = params if params is not None else init_encoder_params(key, self.arch)
+        self._jit_features = jax.jit(lambda p, x: encoder_features(p, self.arch, x))
+        self._jit_posteriors = jax.jit(lambda p, x: encoder_posteriors(p, self.arch, x))
+        self._jit_loss = jax.jit(
+            lambda p, x, yp, yw: encoder_loss(p, self.arch, x, yp, yw, train=False)
+        )
+
+    def compute_features(self, x):
+        return self._jit_features(self.params, jnp.asarray(x, jnp.float32))
+
+    def compute_posteriors(self, x):
+        return self._jit_posteriors(self.params, jnp.asarray(x, jnp.float32))
+
+    def forward(self, x, y_phoneme, y_word):
+        return self._jit_loss(
+            self.params,
+            jnp.asarray(x, jnp.float32),
+            jnp.asarray(y_phoneme, jnp.int32),
+            jnp.asarray(y_word, jnp.int32),
+        )
+
+    __call__ = forward
+
+    def load_torch_state_dict(self, path_or_state):
+        from tpu_slu.models.torch_import import import_pretrained_state_dict
+
+        self.params = import_pretrained_state_dict(path_or_state, self.arch)
+        return self

@@ -1,0 +1,516 @@
+"""End-to-end SLU model: encoder + fixed-slot intent head OR seq2seq decoder.
+
+Rebuild of the reference ``Model`` (reference ``models.py:653-875``) plus its
+seq2seq submodules (``Seq2SeqEncoder``/``Attention``/``DecoderRNN``/
+``Seq2SeqDecoder``, ``models.py:381-651``) as pure functions over param
+pytrees, with a stateful :class:`Model` facade preserving the reference API:
+``forward(x, y_intent)``, ``predict_intents(x)``, ``decode_intents(x)``,
+``freeze_all_layers()``, ``unfreeze_one_layer()``, ``print_frozen()``,
+``one_hot_to_string(x, S)``.
+
+Freezing is functional: instead of flipping ``requires_grad`` the facade
+derives a 0/1 *trainable mask* pytree from the ULMFiT unfreezing schedule
+(reference ``models.py:754-795``), which the trainer applies inside the
+(single, never-recompiled) jitted train step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_slu import ops
+from tpu_slu.models import encoder as enc
+from tpu_slu.models.encoder import EncoderArch, LayerSpec, _linear_init, _rnn_block_specs
+from tpu_slu.ops.attention import attend, attention_init
+from tpu_slu.ops.beam import beam_search
+
+PARAM_KINDS = ("sinc", "conv", "gru")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-slot intent head
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class IntentArch:
+    """Fixed-intent head: bi-GRU stack -> Linear -> max-over-time.
+
+    Mirrors reference models.py:683-717; ``linear_index`` is the ModuleList
+    position of the final classifier for checkpoint key mapping.
+    """
+
+    layers: tuple[LayerSpec, ...]
+    linear_index: int
+    feat_dim: int
+    values_per_slot: tuple[int, ...]
+
+    @staticmethod
+    def from_config(config, in_dim: int) -> "IntentArch":
+        specs, i, out_dim = _rnn_block_specs(
+            "intent", 0, in_dim,
+            config.intent_rnn_num_hidden, config.intent_rnn_drop,
+            config.intent_downsample_type, config.intent_downsample_len,
+            config.intent_rnn_bidirectional,
+        )
+        return IntentArch(
+            layers=tuple(specs),
+            linear_index=i,
+            feat_dim=out_dim,
+            values_per_slot=tuple(config.require("values_per_slot")),
+        )
+
+
+def init_intent_params(key, arch: IntentArch) -> dict:
+    params: dict[str, Any] = {}
+    gru_specs = [s for s in arch.layers if s.kind == "gru"]
+    keys = jax.random.split(key, len(gru_specs) + 1)
+    for k, spec in zip(keys[:-1], gru_specs):
+        in_dim, hidden, bidir = spec.h
+        params[str(spec.index)] = ops.gru_init(k, in_dim, hidden, bidir)
+    params[str(arch.linear_index)] = _linear_init(
+        keys[-1], arch.feat_dim, sum(arch.values_per_slot)
+    )
+    return params
+
+
+def intent_logits(params, arch: IntentArch, feats, *, train=False, rng=None, gru_impl="scan"):
+    """feats: (B, T, C) encoder features -> (B, sum(values_per_slot)) logits."""
+    out, _ = enc._apply_stack(params, arch.layers, feats, train=train, rng=rng, gru_impl=gru_impl)
+    lin = params[str(arch.linear_index)]
+    out = out @ lin["w"] + lin["b"]
+    return jnp.max(out, axis=1)  # FinalPool: max over time (models.py:116-123)
+
+
+def intent_loss_acc(logits, y_intent, values_per_slot):
+    """Per-slot CE summed + all-slots-correct accuracy (models.py:811-821)."""
+    loss = 0.0
+    correct = None
+    start = 0
+    for slot, n in enumerate(values_per_slot):
+        sub = logits[:, start : start + n]
+        logp = jax.nn.log_softmax(sub, axis=-1)
+        loss = loss - jnp.take_along_axis(logp, y_intent[:, slot : slot + 1], axis=1).mean()
+        ok = jnp.argmax(sub, axis=1) == y_intent[:, slot]
+        correct = ok if correct is None else (correct & ok)
+        start += n
+    return loss, correct.astype(jnp.float32).mean()
+
+
+def intent_predictions(logits, values_per_slot):
+    """Per-slot argmax -> (B, num_slots) int32."""
+    preds = []
+    start = 0
+    for n in values_per_slot:
+        preds.append(jnp.argmax(logits[:, start : start + n], axis=1))
+        start += n
+    return jnp.stack(preds, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Seq2seq head (reference models.py:381-651)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Seq2SeqArch:
+    num_labels: int
+    num_encoder_layers: int
+    encoder_dim: int
+    num_decoder_layers: int
+    decoder_dim: int
+    key_dim: int
+    value_dim: int
+    sos: int
+    max_decode_len: int = 200  # reference true_U, models.py:576
+
+    @staticmethod
+    def from_config(config, sos: int, num_labels: int) -> "Seq2SeqArch":
+        return Seq2SeqArch(
+            num_labels=num_labels,
+            num_encoder_layers=config.num_intent_encoder_layers,
+            encoder_dim=config.intent_encoder_dim,
+            num_decoder_layers=config.num_intent_decoder_layers,
+            decoder_dim=config.intent_decoder_dim,
+            key_dim=config.intent_decoder_key_dim,
+            value_dim=config.intent_decoder_value_dim,
+            sos=sos,
+            max_decode_len=getattr(config, "seq2seq_max_decode_len", 200),
+        )
+
+
+def init_seq2seq_params(key, arch: Seq2SeqArch, in_dim: int) -> dict:
+    k_enc, k_emb, k_att, k_rnn, k_lin, k_init = jax.random.split(key, 6)
+    # Encoder: ModuleList [gru, select, dropout] per layer -> gru at 3*idx
+    enc_params: dict[str, Any] = {}
+    d = in_dim
+    for idx in range(arch.num_encoder_layers):
+        k_enc, sub = jax.random.split(k_enc)
+        enc_params[str(3 * idx)] = ops.gru_init(sub, d, arch.encoder_dim, bidirectional=True)
+        d = arch.encoder_dim * 2
+    # DecoderRNN: ModuleList [cell, dropout] per layer -> cell at 2*idx
+    rnn_params: dict[str, Any] = {}
+    cell_in = arch.decoder_dim + arch.value_dim  # embedding + context
+    for idx in range(arch.num_decoder_layers):
+        k_rnn, sub = jax.random.split(k_rnn)
+        rnn_params[str(2 * idx)] = ops.gru_init(sub, cell_in, arch.decoder_dim, False)["fwd"]
+        cell_in = arch.decoder_dim
+    return {
+        "encoder": enc_params,
+        "decoder": {
+            "embed": _linear_init(k_emb, arch.num_labels, arch.decoder_dim),
+            "attention": attention_init(
+                k_att, arch.encoder_dim * 2, arch.decoder_dim, arch.key_dim, arch.value_dim
+            ),
+            "rnn": rnn_params,
+            "initial_state": jax.random.normal(
+                k_init, (arch.num_decoder_layers, arch.decoder_dim), jnp.float32
+            ),
+            "linear": _linear_init(k_lin, arch.decoder_dim, arch.num_labels),
+        },
+    }
+
+
+def seq2seq_encode(params, arch: Seq2SeqArch, feats, *, train=False, rng=None, gru_impl="scan"):
+    """Seq2SeqEncoder: N x [bi-GRU -> dropout 0.5] (models.py:386-411)."""
+    out = feats
+    for idx in range(arch.num_encoder_layers):
+        out = ops.gru_apply(params[str(3 * idx)], out, impl=gru_impl)
+        if train and rng is not None:
+            rng, sub = jax.random.split(rng)
+            keep = jax.random.bernoulli(sub, 0.5, out.shape)
+            out = jnp.where(keep, out / 0.5, 0.0)
+    return out
+
+
+def _decoder_step(dec_params, arch: Seq2SeqArch, enc_out, state, y_prev, *, train=False, rng=None):
+    """One decode step: attend -> embed -> stacked GRUCells -> log-softmax.
+
+    state: (B, num_layers, H); y_prev: (B, num_labels) one-hot (or zeros).
+    Returns (new_state, logp (B, num_labels)).
+    """
+    context = attend(dec_params["attention"], enc_out, state[:, -1])
+    emb = y_prev @ dec_params["embed"]["w"] + dec_params["embed"]["b"]
+    h_in = jnp.concatenate([emb, context], axis=1)
+    new_states = []
+    for li in range(arch.num_decoder_layers):
+        h = ops.gru_cell_step(dec_params["rnn"][str(2 * li)], h_in, state[:, li])
+        new_states.append(h)
+        h_in = h
+        if train and rng is not None:  # inter-layer dropout p=0.5 (models.py:454)
+            rng, sub = jax.random.split(rng)
+            keep = jax.random.bernoulli(sub, 0.5, h_in.shape)
+            h_in = jnp.where(keep, h_in / 0.5, 0.0)
+    new_state = jnp.stack(new_states, axis=1)
+    logits = new_state[:, -1] @ dec_params["linear"]["w"] + dec_params["linear"]["b"]
+    return new_state, jax.nn.log_softmax(logits, axis=1)
+
+
+def seq2seq_log_prob(params, arch: Seq2SeqArch, feats, y_onehot, *, train=False, rng=None,
+                     gru_impl="scan"):
+    """Teacher-forced log p(y|x) per example (models.py:515-556).
+
+    y_onehot: (B, U, num_labels), EOS-padded one-hot targets.
+    """
+    enc_out = seq2seq_encode(params["encoder"], arch, feats, train=train, rng=rng, gru_impl=gru_impl)
+    dec = params["decoder"]
+    B, U, L = y_onehot.shape
+    state0 = jnp.broadcast_to(dec["initial_state"][None], (B,) + dec["initial_state"].shape)
+    y_sos = jax.nn.one_hot(jnp.full((B,), arch.sos), L, dtype=jnp.float32)
+
+    y_steps = jnp.swapaxes(y_onehot, 0, 1)  # (U, B, L)
+    base_rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    def body(carry, inp):
+        state, y_prev, acc = carry
+        y_u, u = inp
+        step_rng = jax.random.fold_in(base_rng, u) if train else None
+        state, logp = _decoder_step(dec, arch, enc_out, state, y_prev, train=train, rng=step_rng)
+        acc = acc + (logp * y_u).sum(axis=1)
+        return (state, y_u, acc), None
+
+    (_, _, log_p), _ = jax.lax.scan(
+        body, (state0, y_sos, jnp.zeros((B,), jnp.float32)), (y_steps, jnp.arange(U))
+    )
+    return log_p
+
+
+def seq2seq_beam_infer(params, arch: Seq2SeqArch, feats, beam_width: int = 4, *, gru_impl="scan"):
+    """Beam-search decode. Returns (scores (beam, B), tokens (beam, B, U))."""
+    enc_out = seq2seq_encode(params["encoder"], arch, feats, train=False, gru_impl=gru_impl)
+    dec = params["decoder"]
+    B = feats.shape[0]
+    state0 = jnp.broadcast_to(dec["initial_state"][None], (B,) + dec["initial_state"].shape)
+
+    def step_fn(state, y_prev):
+        return _decoder_step(dec, arch, enc_out, state, y_prev, train=False)
+
+    return beam_search(
+        step_fn, state0, B, arch.num_labels, arch.max_decode_len, beam_width
+    )
+
+
+# ---------------------------------------------------------------------------
+# ULMFiT unfreezing schedule -> trainable masks
+# ---------------------------------------------------------------------------
+
+
+def _walk_unfrozen(arch: EncoderArch, unfreezing_type: int, count: int) -> set:
+    """Set of (group, index) param layers unfrozen after the reference's walk
+    from the end of word_layers backwards (models.py:754-795) has unfrozen
+    ``count`` trainable layers."""
+    unfrozen: set = set()
+    if unfreezing_type == 0 or count <= 0:
+        return unfrozen
+    trainable = 0
+    for spec in reversed(arch.word_layers):
+        if spec.kind in PARAM_KINDS:
+            unfrozen.add(("word_layers", spec.index))
+            trainable += 1
+            if trainable == count:
+                return unfrozen
+    if unfreezing_type == 2:
+        for spec in reversed(arch.phoneme_layers):
+            if spec.kind in PARAM_KINDS:
+                unfrozen.add(("phoneme_layers", spec.index))
+                trainable += 1
+                if trainable == count:
+                    return unfrozen
+    return unfrozen
+
+
+def _num_walkable(arch: EncoderArch, unfreezing_type: int) -> int:
+    n = sum(1 for s in arch.word_layers if s.kind in PARAM_KINDS)
+    if unfreezing_type == 2:
+        n += sum(1 for s in arch.phoneme_layers if s.kind in PARAM_KINDS)
+    return n
+
+
+def encoder_trainable_mask(params_encoder, arch: EncoderArch, frozen: bool,
+                           unfreezing_type: int, unfrozen_count: int):
+    """0/1 mask pytree over the *encoder* params.
+
+    ``phoneme_linear``/``word_linear`` live outside the frozen ModuleLists in
+    the reference (``freeze_all_layers`` models.py:738-742 only touches
+    phoneme_layers/word_layers) so they are always trainable.
+    """
+    if not frozen:
+        return jax.tree.map(lambda _: 1.0, params_encoder)
+    unfrozen = _walk_unfrozen(arch, unfreezing_type, unfrozen_count)
+    mask = {}
+    for group in ("phoneme_layers", "word_layers"):
+        mask[group] = {}
+        for idx, sub in params_encoder[group].items():
+            val = 1.0 if (group, int(idx)) in unfrozen else 0.0
+            mask[group][idx] = jax.tree.map(lambda _: val, sub)
+    for lin in ("phoneme_linear", "word_linear"):
+        mask[lin] = jax.tree.map(lambda _: 1.0, params_encoder[lin])
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# Facade
+# ---------------------------------------------------------------------------
+
+
+class Model:
+    """End-to-end SLU model facade (reference ``Model``, models.py:653-875)."""
+
+    def __init__(self, config, seed: int | None = None):
+        self.config = config
+        self.Sy_intent = config.require("Sy_intent")
+        self.seq2seq = config.seq2seq
+        self.unfreezing_type = config.unfreezing_type
+        self.unfreezing_index = config.starting_unfreezing_index
+        self._unfrozen_count = 0
+        self._frozen_base = config.pretraining_type != 0
+
+        self.encoder_arch = EncoderArch.from_config(config)
+        key = jax.random.PRNGKey(config.seed if seed is None else seed)
+        k_enc, k_head = jax.random.split(key)
+        encoder_params = enc.init_encoder_params(k_enc, self.encoder_arch)
+
+        in_dim = self.encoder_arch.word_feat_dim
+        if not self.seq2seq:
+            self.intent_arch = IntentArch.from_config(config, in_dim)
+            self.values_per_slot = self.intent_arch.values_per_slot
+            self.num_values_total = sum(self.values_per_slot)
+            head_params = {"intent_layers": init_intent_params(k_head, self.intent_arch)}
+        else:
+            self.SOS = self.Sy_intent.index("<sos>")
+            self.num_labels = len(self.Sy_intent)
+            self.seq2seq_arch = Seq2SeqArch.from_config(config, self.SOS, self.num_labels)
+            head_params = init_seq2seq_params(k_head, self.seq2seq_arch, in_dim)
+
+        self.params = {"pretrained_model": encoder_params, **head_params}
+
+        # Load the pre-trained encoder (reference models.py:661-667): native
+        # .npz checkpoint preferred, PyTorch .pth supported.
+        if config.pretraining_type != 0:
+            from tpu_slu.training import checkpoint as ckpt
+
+            pre_dir = os.path.join(config.folder, "pretraining")
+            npz = os.path.join(pre_dir, "model_state.npz")
+            pth = os.path.join(pre_dir, "model_state.pth")
+            if os.path.isfile(npz):
+                self.params["pretrained_model"] = ckpt.load_pytree(
+                    npz, self.params["pretrained_model"]
+                )
+            elif os.path.isfile(pth):
+                from tpu_slu.models.torch_import import import_pretrained_state_dict
+
+                self.params["pretrained_model"] = import_pretrained_state_dict(
+                    pth, self.encoder_arch
+                )
+            else:
+                raise FileNotFoundError(
+                    f"pretraining_type={config.pretraining_type} but no checkpoint at "
+                    f"{npz} or {pth}; run --pretrain first or set pretraining_type=0"
+                )
+
+        self._build_jits()
+
+    # -- jitted pure cores --------------------------------------------------
+
+    def _build_jits(self):
+        earch = self.encoder_arch
+
+        if not self.seq2seq:
+            iarch = self.intent_arch
+
+            def fwd(params, x, y_intent):
+                feats = enc.encoder_features(params["pretrained_model"], earch, x)
+                logits = intent_logits(params["intent_layers"], iarch, feats)
+                return intent_loss_acc(logits, y_intent, iarch.values_per_slot)
+
+            def predict(params, x):
+                feats = enc.encoder_features(params["pretrained_model"], earch, x)
+                logits = intent_logits(params["intent_layers"], iarch, feats)
+                return logits, intent_predictions(logits, iarch.values_per_slot)
+
+            self._jit_forward = jax.jit(fwd)
+            self._jit_predict = jax.jit(predict)
+        else:
+            sarch = self.seq2seq_arch
+
+            def fwd(params, x, y_onehot):
+                feats = enc.encoder_features(params["pretrained_model"], earch, x)
+                log_p = seq2seq_log_prob(params, sarch, feats, y_onehot)
+                return -log_p.mean(), jnp.zeros((), jnp.float32)
+
+            def infer(params, x, beam_width):
+                feats = enc.encoder_features(params["pretrained_model"], earch, x)
+                return seq2seq_beam_infer(params, sarch, feats, beam_width)
+
+            self._jit_forward = jax.jit(fwd)
+            self._jit_infer = jax.jit(infer, static_argnums=2)
+
+    # -- reference API --------------------------------------------------------
+
+    def forward(self, x, y_intent):
+        x = jnp.asarray(x, jnp.float32)
+        if not self.seq2seq:
+            return self._jit_forward(self.params, x, jnp.asarray(y_intent, jnp.int32))
+        return self._jit_forward(self.params, x, jnp.asarray(y_intent, jnp.float32))
+
+    __call__ = forward
+
+    def predict_intents(self, x):
+        x = jnp.asarray(x, jnp.float32)
+        if x.ndim == 1:
+            x = x[None, :]
+        if not self.seq2seq:
+            return self._jit_predict(self.params, x)
+        return self._jit_infer(self.params, x, 4)
+
+    def decode_intents(self, x):
+        """Waveform(s) -> intent strings (reference models.py:853-874)."""
+        _, predicted = self.predict_intents(x)
+        if not self.seq2seq:
+            predicted = np.asarray(predicted)
+            intents = []
+            for prediction in predicted:
+                intent = []
+                for idx, slot in enumerate(self.Sy_intent):
+                    for value in self.Sy_intent[slot]:
+                        if prediction[idx] == self.Sy_intent[slot][value]:
+                            intent.append(value)
+                intents.append(intent)
+            return intents
+        tokens = np.asarray(predicted)  # (beam, batch, U)
+        return [self.ids_to_string(tokens[0, i], self.Sy_intent) for i in range(tokens.shape[1])]
+
+    @staticmethod
+    def ids_to_string(ids, S):
+        """Token ids -> string with the reference's strip quirk
+        (``.lstrip("<sos>").rstrip("<eos>")`` strips by *character set*,
+        models.py:730-736) preserved for output parity."""
+        return "".join(S[int(c)] for c in ids).lstrip("<sos>").rstrip("<eos>")
+
+    def one_hot_to_string(self, one_hot_seq, S):
+        ids = np.asarray(one_hot_seq).argmax(axis=-1)
+        return self.ids_to_string(ids, S)
+
+    # -- freezing -------------------------------------------------------------
+
+    def freeze_all_layers(self):
+        self._frozen_base = True
+        self._unfrozen_count = 0
+
+    def unfreeze_one_layer(self):
+        """Advance the ULMFiT schedule one epoch (models.py:754-795)."""
+        if self.unfreezing_type == 0:
+            return
+        total = _num_walkable(self.encoder_arch, self.unfreezing_type)
+        self._unfrozen_count = min(self.unfreezing_index, total)
+        if self.unfreezing_index <= total:
+            self.unfreezing_index += 1
+
+    def trainable_mask(self):
+        """0/1 pytree matching ``self.params``: 1 = trainable now."""
+        enc_mask = encoder_trainable_mask(
+            self.params["pretrained_model"], self.encoder_arch,
+            self._frozen_base, self.unfreezing_type, self._unfrozen_count,
+        )
+        mask = {"pretrained_model": enc_mask}
+        for k, v in self.params.items():
+            if k != "pretrained_model":
+                mask[k] = jax.tree.map(lambda _: 1.0, v)
+        return mask
+
+    def print_frozen(self):
+        unfrozen = _walk_unfrozen(self.encoder_arch, self.unfreezing_type, self._unfrozen_count)
+        for group in ("phoneme_layers", "word_layers"):
+            for spec in getattr(self.encoder_arch, group):
+                if spec.kind in PARAM_KINDS:
+                    state = (
+                        "unfrozen"
+                        if (not self._frozen_base or (group, spec.index) in unfrozen)
+                        else "frozen"
+                    )
+                    print(f"{spec.name}: {state}")
+
+    # -- checkpoint I/O ---------------------------------------------------------
+
+    def load_torch_state_dict(self, path_or_state):
+        from tpu_slu.models.torch_import import import_model_state_dict
+
+        self.params = import_model_state_dict(
+            path_or_state,
+            self.encoder_arch,
+            intent_arch=None if self.seq2seq else self.intent_arch,
+            seq2seq_arch=self.seq2seq_arch if self.seq2seq else None,
+        )
+        return self
+
+    def eval(self):  # reference API no-ops under the functional design
+        return self
+
+    def train(self):
+        return self

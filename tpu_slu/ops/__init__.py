@@ -1,0 +1,23 @@
+"""Pure-functional TPU building-block ops (JAX/XLA/Pallas).
+
+These replace the reference's torch.nn modules (reference ``models.py:26-168``)
+and the cuDNN GRU/conv kernels it inherits from PyTorch.
+"""
+
+from tpu_slu.ops.sinc import sinc_filters, sinc_conv
+from tpu_slu.ops.conv import conv1d, max_pool1d_ceil, avg_pool1d_ceil, downsample
+from tpu_slu.ops.gru import GRUParams, gru_init, gru_apply, bigru_apply, gru_cell_step
+
+__all__ = [
+    "sinc_filters",
+    "sinc_conv",
+    "conv1d",
+    "max_pool1d_ceil",
+    "avg_pool1d_ceil",
+    "downsample",
+    "GRUParams",
+    "gru_init",
+    "gru_apply",
+    "bigru_apply",
+    "gru_cell_step",
+]

@@ -1,0 +1,33 @@
+"""Single-query scaled dot-product attention for the seq2seq intent decoder.
+
+Equivalent of the reference ``Attention`` module (reference ``models.py:413-436``):
+linear K/Q/V projections, softmax over the time axis, context = weighted sum
+of values. One query per decode step (the decoder's top-layer hidden state).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def attention_init(key, encoder_dim: int, decoder_dim: int, key_dim: int, value_dim: int):
+    from tpu_slu.models.encoder import _linear_init
+
+    kk, kq, kv = jax.random.split(key, 3)
+    return {
+        "key": _linear_init(kk, encoder_dim, key_dim),
+        "query": _linear_init(kq, decoder_dim, key_dim),
+        "value": _linear_init(kv, encoder_dim, value_dim),
+    }
+
+
+def attend(params, encoder_states, decoder_state):
+    """encoder_states: (B, T, E); decoder_state: (B, D) -> context (B, V)."""
+    keys = encoder_states @ params["key"]["w"] + params["key"]["b"]  # (B, T, K)
+    values = encoder_states @ params["value"]["w"] + params["value"]["b"]  # (B, T, V)
+    query = decoder_state @ params["query"]["w"] + params["query"]["b"]  # (B, K)
+    key_dim = keys.shape[-1]
+    scores = jnp.einsum("btk,bk->bt", keys, query) / jnp.sqrt(jnp.float32(key_dim))
+    weights = jax.nn.softmax(scores, axis=1)
+    return jnp.einsum("bt,btv->bv", weights, values)

@@ -1,0 +1,106 @@
+"""1-D convolution and pooling primitives with torch-compatible semantics.
+
+Replaces the reference's ``torch.nn.Conv1d`` / ``MaxPool1d(ceil_mode=True)`` /
+``avg_pool1d(ceil_mode=True)`` building blocks (reference ``models.py:26-46,
+190-207``) with XLA-native ops. All static shapes; convs lower onto the MXU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# (batch, channel, time) everywhere — matches the reference's NCL layout in
+# the conv front-end; the RNN stack uses (batch, time, channel).
+_CONV_DIMS = ("NCH", "OIH", "NCH")
+
+
+def conv1d(x, kernel, bias=None, stride: int = 1, padding: int = 0):
+    """Conv1d: x (B, Cin, T), kernel (Cout, Cin, K) -> (B, Cout, T_out).
+
+    Same shape/stride/padding semantics as torch Conv1d with symmetric
+    zero-padding (reference models.py:190,200: padding = len_filt // 2).
+    """
+    out = lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=_CONV_DIMS,
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias[None, :, None]
+    return out
+
+
+def _ceil_pool_padding(t: int, k: int) -> int:
+    """End-padding so a stride-k window pool emits ceil(t/k) frames."""
+    out_len = -(-t // k)  # ceil
+    return out_len * k - t
+
+
+def max_pool1d_ceil(x, k: int):
+    """torch ``max_pool1d(kernel_size=k, ceil_mode=True)`` on (B, C, T)."""
+    if k == 1:
+        return x
+    pad = _ceil_pool_padding(x.shape[-1], k)
+    return lax.reduce_window(
+        x,
+        -jnp.inf,
+        lax.max,
+        window_dimensions=(1, 1, k),
+        window_strides=(1, 1, k),
+        padding=((0, 0), (0, 0), (0, pad)),
+    )
+
+
+def avg_pool1d_ceil(x, k: int):
+    """torch ``avg_pool1d(kernel_size=k, ceil_mode=True)`` on (B, C, T).
+
+    torch divides trailing (ceil-mode) partial windows by the number of
+    elements actually inside the input, so we divide a zero-padded window sum
+    by a per-position valid count rather than by k.
+    """
+    if k == 1:
+        return x
+    t = x.shape[-1]
+    pad = _ceil_pool_padding(t, k)
+    sums = lax.reduce_window(
+        x,
+        0.0,
+        lax.add,
+        window_dimensions=(1, 1, k),
+        window_strides=(1, 1, k),
+        padding=((0, 0), (0, 0), (0, pad)),
+    )
+    if pad == 0:
+        return sums / k
+    out_len = sums.shape[-1]
+    counts = jnp.full((out_len,), k, dtype=x.dtype).at[-1].set(k - pad)
+    return sums / counts
+
+
+def downsample(x, method: str, factor: int, time_axis: int = 1):
+    """Time-axis decimation (reference ``Downsample``, models.py:26-46).
+
+    x: (B, T, C) with time_axis=1 (the only usage in the reference).
+    method: "none" -> strided slice; "avg"/"max" -> pooled with ceil_mode.
+    """
+    if method not in ("none", "avg", "max"):
+        raise ValueError(f"downsample method must be none/avg/max, got {method!r}")
+    if factor == 1 and method in ("none", "avg", "max"):
+        return x
+    if method == "none":
+        idx = [slice(None)] * x.ndim
+        idx[time_axis] = slice(None, None, factor)
+        return x[tuple(idx)]
+    # Pool over time: move to (B, C, T)
+    xt = jnp.swapaxes(x, time_axis, x.ndim - 1)
+    pooled = max_pool1d_ceil(xt, factor) if method == "max" else avg_pool1d_ceil(xt, factor)
+    return jnp.swapaxes(pooled, time_axis, x.ndim - 1)
+
+
+def leaky_relu(x, negative_slope: float = 0.2):
+    return jax.nn.leaky_relu(x, negative_slope)

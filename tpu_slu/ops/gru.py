@@ -1,0 +1,122 @@
+"""GRU layers as ``lax.scan`` recurrences (with a Pallas fused-cell fast path).
+
+Replaces the cuDNN GRU kernels the reference inherits from
+``torch.nn.GRU``/``GRUCell`` (reference ``models.py:232,262,448``). The gate
+math is bit-compatible with PyTorch's formulation so imported
+``model_state.pth`` checkpoints reproduce activations:
+
+    r = sigmoid(W_ir x + b_ir + W_hr h + b_hr)
+    z = sigmoid(W_iz x + b_iz + W_hz h + b_hz)
+    n = tanh(W_in x + b_in + r * (W_hn h + b_hn))
+    h' = (1 - z) * n + z * h
+
+with gate order (r, z, n) along the stacked 3H axis and PyTorch's two-bias
+formulation kept separate.
+
+TPU execution shape: the input projection for the *whole* sequence is one
+large (B*T, D)x(D, 3H) matmul (MXU-friendly), and only the (B, H)x(H, 3H)
+hidden recurrence runs inside the scan. Weights are stored pre-transposed
+(D, 3H) for right-multiplication.
+"""
+
+from __future__ import annotations
+
+from typing import TypedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+class GRUDirParams(TypedDict):
+    w_ih: jax.Array  # (D, 3H)
+    w_hh: jax.Array  # (H, 3H)
+    b_ih: jax.Array  # (3H,)
+    b_hh: jax.Array  # (3H,)
+
+
+class GRUParams(TypedDict, total=False):
+    fwd: GRUDirParams
+    bwd: GRUDirParams  # present iff bidirectional
+
+
+def gru_init(key, input_dim: int, hidden: int, bidirectional: bool) -> GRUParams:
+    """torch-style init: all weights/biases ~ U(-1/sqrt(H), 1/sqrt(H))."""
+    bound = 1.0 / np.sqrt(hidden)
+    dirs = ["fwd", "bwd"] if bidirectional else ["fwd"]
+    keys = jax.random.split(key, 4 * len(dirs))
+    params: GRUParams = {}
+    for d_idx, d in enumerate(dirs):
+        k = keys[4 * d_idx : 4 * d_idx + 4]
+        params[d] = {
+            "w_ih": jax.random.uniform(k[0], (input_dim, 3 * hidden), jnp.float32, -bound, bound),
+            "w_hh": jax.random.uniform(k[1], (hidden, 3 * hidden), jnp.float32, -bound, bound),
+            "b_ih": jax.random.uniform(k[2], (3 * hidden,), jnp.float32, -bound, bound),
+            "b_hh": jax.random.uniform(k[3], (3 * hidden,), jnp.float32, -bound, bound),
+        }
+    return params
+
+
+def gru_cell_step(params: GRUDirParams, x, h):
+    """One GRUCell update. x: (B, D), h: (B, H) -> h': (B, H)."""
+    gi = jnp.dot(x, params["w_ih"], preferred_element_type=jnp.float32) + params["b_ih"]
+    gh = jnp.dot(h, params["w_hh"], preferred_element_type=jnp.float32) + params["b_hh"]
+    return _gate_update(gi, gh, h)
+
+
+def _gate_update(gi, gh, h):
+    hidden = h.shape[-1]
+    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    del hidden
+    return (1.0 - z) * n + z * h
+
+
+def _gru_scan(params: GRUDirParams, x, reverse: bool, unroll: int = 8):
+    """Unidirectional GRU over x (B, T, D) -> (B, T, H). h0 = 0 (torch default)."""
+    B, T, _ = x.shape
+    H = params["w_hh"].shape[0]
+    # Whole-sequence input projection: one MXU matmul instead of T small ones.
+    gi = (
+        jnp.dot(x, params["w_ih"], preferred_element_type=jnp.float32)
+        + params["b_ih"]
+    )  # (B, T, 3H)
+    gi = jnp.swapaxes(gi, 0, 1)  # (T, B, 3H) time-major for scan
+
+    w_hh, b_hh = params["w_hh"], params["b_hh"]
+
+    def step(h, gi_t):
+        gh = jnp.dot(h, w_hh, preferred_element_type=jnp.float32) + b_hh
+        h_new = _gate_update(gi_t, gh, h)
+        return h_new, h_new
+
+    h0 = jnp.zeros((B, H), x.dtype)
+    _, ys = lax.scan(step, h0, gi, reverse=reverse, unroll=unroll)
+    return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
+
+
+def gru_apply(params: GRUParams, x, impl: str = "scan"):
+    """GRU over a batch of sequences. x: (B, T, D) -> (B, T, H or 2H).
+
+    ``impl``: "scan" (pure XLA) or "pallas" (fused VMEM-resident cell; falls
+    back to scan on non-TPU backends).
+    """
+    if impl == "pallas":
+        from tpu_slu.ops.pallas_gru import gru_pallas_available, gru_apply_pallas
+
+        if gru_pallas_available():
+            return gru_apply_pallas(params, x)
+    out_f = _gru_scan(params["fwd"], x, reverse=False)
+    if "bwd" not in params:
+        return out_f
+    out_b = _gru_scan(params["bwd"], x, reverse=True)
+    return jnp.concatenate([out_f, out_b], axis=-1)
+
+
+def bigru_apply(params: GRUParams, x, impl: str = "scan"):
+    """Alias used by model code where bidirectionality is config-driven."""
+    return gru_apply(params, x, impl=impl)
