@@ -1,0 +1,101 @@
+"""Config parsing parity: keys, derived fields, optional fallbacks, side effects."""
+
+import os
+
+import pytest
+
+from tpu_slu import read_config
+from tests import fixtures
+
+
+@pytest.fixture
+def cfg_path(tmp_path):
+    return fixtures.write_cfg(
+        str(tmp_path / "exp.cfg"), folder=str(tmp_path / "exp"),
+        slu_path="/slu", asr_path="/asr", pretraining_type=2, unfreezing_type=1,
+    )
+
+
+def test_basic_keys(cfg_path, tmp_path):
+    config = read_config(cfg_path)
+    assert config.seed == 7
+    assert config.use_sincnet is True
+    assert config.fs == 16000
+    assert config.cnn_N_filt == [16, 16]
+    assert config.cnn_stride == [10, 1]
+    assert config.phone_rnn_num_hidden == [12, 12]
+    assert config.word_rnn_bidirectional is True
+    assert config.vocabulary_size == 8
+    assert config.training_batch_size == 8
+    assert config.train_wording_path is None
+    assert config.seq2seq is False
+    assert config.dataset_upsample_factor == 1  # optional-key default
+    assert config.augment is False
+
+
+def test_derived_downsample_factors(cfg_path):
+    config = read_config(cfg_path)
+    # strides 10*1 * pools 2*1 * phone_ds 2*2 = 80
+    assert config.phone_downsample_factor == 80
+    # * word_ds 2*2 = 320
+    assert config.word_downsample_factor == 320
+
+
+def test_reference_default_cfg_factors(tmp_path):
+    """The canonical no_unfreezing topology: 640 / 2560 (25 Hz / 6.25 Hz)."""
+    path = fixtures.write_cfg(str(tmp_path / "c.cfg"), folder=str(tmp_path / "f"))
+    text = open(path).read()
+    text = (
+        text.replace("cnn_N_filt=16,16", "cnn_N_filt=80,60,60")
+        .replace("cnn_len_filt=31,3", "cnn_len_filt=401,5,5")
+        .replace("cnn_stride=10,1", "cnn_stride=80,1,1")
+        .replace("cnn_max_pool_len=2,1", "cnn_max_pool_len=2,1,1")
+        .replace("cnn_act=leaky_relu,leaky_relu", "cnn_act=leaky_relu,leaky_relu,leaky_relu")
+        .replace("cnn_drop=0.0,0.0", "cnn_drop=0.0,0.0,0.0")
+    )
+    open(path, "w").write(text)
+    config = read_config(path)
+    assert config.phone_downsample_factor == 640
+    assert config.word_downsample_factor == 2560
+
+
+@pytest.mark.parametrize(
+    "ptype,expected",
+    [(0, 1 + 2 + 2 + 2), (1, 1 + 2), (2, 1), (3, 1)],
+)
+def test_starting_unfreezing_index(tmp_path, ptype, expected):
+    path = fixtures.write_cfg(
+        str(tmp_path / "c.cfg"), folder=str(tmp_path / "f"), pretraining_type=ptype
+    )
+    assert read_config(path).starting_unfreezing_index == expected
+
+
+def test_folder_side_effects(cfg_path, tmp_path):
+    read_config(cfg_path)
+    folder = tmp_path / "exp"
+    assert (folder / "pretraining").is_dir()
+    assert (folder / "training").is_dir()
+    assert (folder / "experiment.cfg").is_file()
+
+
+def test_optional_seq2seq_keys_absent(tmp_path):
+    path = fixtures.write_cfg(str(tmp_path / "c.cfg"), folder=str(tmp_path / "f"))
+    text = "\n".join(
+        line
+        for line in open(path).read().splitlines()
+        if not line.startswith(("intent_encoder_dim", "num_intent_encoder", "intent_decoder", "num_intent_decoder"))
+    )
+    open(path, "w").write(text)
+    config = read_config(path)
+    assert not hasattr(config, "intent_encoder_dim")
+
+
+def test_require_explains_call_order(cfg_path):
+    config = read_config(cfg_path)
+    with pytest.raises(RuntimeError, match="get_SLU_datasets"):
+        config.require("Sy_intent")
+
+
+def test_missing_file_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_config(str(tmp_path / "nope.cfg"))

@@ -1,0 +1,211 @@
+"""Data layer: WAV codec, TextGrid parser, dataset construction, batching."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests import fixtures
+from tpu_slu import read_config
+from tpu_slu.data.audio import read_wav, write_wav
+from tpu_slu.data.datasets import get_ASR_datasets, get_SLU_datasets
+from tpu_slu.data.loader import BatchLoader, pad_to_bucket
+from tpu_slu.data.textgrid import read_textgrid, write_textgrid
+
+
+class TestAudio:
+    def test_wav_roundtrip(self, tmp_path, rng):
+        x = rng.uniform(-0.9, 0.9, 12345).astype(np.float32)
+        path = str(tmp_path / "t.wav")
+        write_wav(path, x, 16000)
+        y, fs = read_wav(path)
+        assert fs == 16000
+        assert y.dtype == np.float32
+        np.testing.assert_allclose(y, x, atol=1.0 / 32768)
+
+    def test_reference_test_wav(self):
+        """The reference's bundled smoke asset: 16 kHz mono, 57,585 frames."""
+        path = "/root/reference/test.wav"
+        if not os.path.isfile(path):
+            pytest.skip("reference test.wav not mounted")
+        x, fs = read_wav(path)
+        assert fs == 16000
+        assert x.shape == (57585,)
+        assert np.abs(x).max() <= 1.0
+
+    def test_stereo_takes_first_channel(self, tmp_path):
+        import struct
+
+        left = np.linspace(-0.5, 0.5, 100)
+        right = np.zeros(100)
+        inter = np.empty(200)
+        inter[0::2] = left
+        inter[1::2] = right
+        pcm = (np.clip(inter, -1, 1 - 1 / 32768) * 32768).astype("<i2").tobytes()
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 8000 * 4, 4, 16)
+        hdr += b"data" + struct.pack("<I", len(pcm))
+        path = str(tmp_path / "st.wav")
+        open(path, "wb").write(hdr + pcm)
+        x, fs = read_wav(path)
+        assert fs == 8000 and x.shape == (100,)
+        np.testing.assert_allclose(x, left, atol=1.0 / 16384)
+
+
+class TestTextGrid:
+    def test_roundtrip(self, tmp_path):
+        path = str(tmp_path / "t.TextGrid")
+        write_textgrid(
+            path,
+            {
+                "words": [(0.0, 0.5, "hello"), (0.5, 1.0, "world")],
+                "phones": [(0.0, 0.25, "HH"), (0.25, 0.5, "AH0"), (0.5, 1.0, "sil")],
+            },
+            1.0,
+        )
+        tiers = read_textgrid(path)
+        assert [iv.mark for iv in tiers["words"]] == ["hello", "world"]
+        assert [iv.mark for iv in tiers["phones"]] == ["HH", "AH0", "sil"]
+        assert tiers["phones"].intervals[1].minTime == 0.25
+
+    def test_quoted_escapes_and_empty_marks(self, tmp_path):
+        path = str(tmp_path / "t.TextGrid")
+        write_textgrid(path, {"words": [(0.0, 1.0, "")]}, 1.0)
+        tiers = read_textgrid(path)
+        assert tiers["words"].intervals[0].mark == ""
+
+
+@pytest.fixture
+def slu_setup(tmp_path):
+    slu_root = fixtures.make_slu_dataset(str(tmp_path / "fsc"))
+    cfg = fixtures.write_cfg(
+        str(tmp_path / "exp.cfg"), folder=str(tmp_path / "exp"), slu_path=slu_root
+    )
+    config = read_config(cfg)
+    fixtures.write_phonemes_txt(config.folder)
+    return config
+
+
+class TestSLUDatasets:
+    def test_builds_and_mutates_config(self, slu_setup):
+        config = slu_setup
+        train, valid, test = get_SLU_datasets(config)
+        assert config.values_per_slot == [2, 2, 2]
+        assert set(config.Sy_intent.keys()) == {"action", "object", "location"}
+        assert config.num_phonemes == len(fixtures.PHONES)
+        assert len(train) == 48 and len(valid) == 16 and len(test) == 16
+
+    def test_batch_shapes_static(self, slu_setup):
+        config = slu_setup
+        train, _, _ = get_SLU_datasets(config)
+        shapes = set()
+        for batch in train.loader:
+            assert batch["x"].shape[0] == config.training_batch_size
+            assert batch["x"].shape[1] % 8000 == 0
+            assert batch["y_intent"].shape == (config.training_batch_size, 3)
+            assert batch["w"].sum() <= config.training_batch_size
+            shapes.add(batch["x"].shape)
+        assert len(shapes) <= 3  # bucketing bounds distinct shapes
+
+    def test_upsample_factor(self, slu_setup):
+        config = slu_setup
+        config.dataset_upsample_factor = 3
+        train, _, _ = get_SLU_datasets(config)
+        assert len(train) == 48 * 3
+
+    def test_wording_filter(self, slu_setup, tmp_path):
+        config = slu_setup
+        wording_file = str(tmp_path / "w.txt")
+        with open(wording_file, "w") as f:
+            f.write("activate the lights in the kitchen\n")
+        config.train_wording_path = wording_file
+        train, _, _ = get_SLU_datasets(config)
+        assert 0 < len(train) < 48
+        assert all(
+            train.df.loc[i].transcription == "activate the lights in the kitchen"
+            for i in range(len(train.df))
+        )
+
+    def test_seq2seq_vocab_and_onehot(self, slu_setup):
+        config = slu_setup
+        config.seq2seq = True
+        train, _, _ = get_SLU_datasets(config)
+        assert config.Sy_intent[0] == "<sos>" and config.Sy_intent[-1] == "<eos>"
+        batch = next(iter(train.loader))
+        y = batch["y_intent"]
+        assert y.ndim == 3 and y.shape[2] == len(config.Sy_intent)
+        np.testing.assert_allclose(y.sum(axis=2), 1.0)  # valid one-hot everywhere
+
+    def test_speaker_subsetting(self, slu_setup):
+        config = slu_setup
+        config.real_speaker_subset_percentage = 0.5
+        np.random.seed(0)
+        train, _, _ = get_SLU_datasets(config)
+        assert len(set(train.df.speakerId)) == 2  # 4 speakers -> 2
+
+
+class TestASRDatasets:
+    @pytest.fixture
+    def asr_config(self, tmp_path):
+        asr_root = fixtures.make_asr_dataset(str(tmp_path / "libri"))
+        cfg = fixtures.write_cfg(
+            str(tmp_path / "exp.cfg"), folder=str(tmp_path / "exp"),
+            asr_path=asr_root, pretraining_type=2,
+        )
+        return read_config(cfg)
+
+    def test_vocab_built_from_valid_split_and_persisted(self, asr_config):
+        config = asr_config
+        get_ASR_datasets(config)
+        phones = open(os.path.join(config.folder, "pretraining", "phonemes.txt")).read().split()
+        words_raw = open(os.path.join(config.folder, "pretraining", "words.txt")).read()
+        assert config.num_phonemes == len(phones)
+        # stress digits stripped
+        assert all(not p[-1].isdigit() for p in phones)
+        assert len(words_raw.split("\n")) >= 2
+
+    def test_labels_strided_and_cropped(self, asr_config):
+        config = asr_config
+        train, valid, test = get_ASR_datasets(config)
+        x, yp, yw = train[0]
+        assert len(yp) == -(-len(x) // config.phone_downsample_factor) or len(yp) <= -(
+            -len(x) // config.phone_downsample_factor
+        )
+        assert yp.dtype == np.int32
+        assert (yp >= -1).all() and (yp < config.num_phonemes).all()
+
+    def test_batch_static_shapes(self, asr_config):
+        config = asr_config
+        train, _, _ = get_ASR_datasets(config)
+        batch = next(iter(train.loader))
+        t = batch["x"].shape[1]
+        assert t % 8000 == 0
+        assert batch["y_phoneme"].shape == (8, -(-t // config.phone_downsample_factor))
+        assert batch["y_word"].shape == (8, -(-t // config.word_downsample_factor))
+
+
+class TestLoader:
+    def test_pad_to_bucket(self):
+        assert pad_to_bucket(1, 8000) == 8000
+        assert pad_to_bucket(8000, 8000) == 8000
+        assert pad_to_bucket(8001, 8000) == 16000
+
+    def test_loader_covers_dataset_and_shuffles(self):
+        class DS:
+            def __len__(self):
+                return 10
+
+            def __getitem__(self, i):
+                return i
+
+        seen = []
+        loader = BatchLoader(DS(), 4, collate=lambda items: list(items), shuffle=True, seed=1)
+        for batch in loader:
+            seen.extend(batch)
+        assert sorted(seen) == list(range(10))
+        order1 = seen
+        seen2 = []
+        for batch in loader:  # second epoch reshuffles
+            seen2.extend(batch)
+        assert sorted(seen2) == list(range(10))
+        assert seen2 != order1

@@ -213,6 +213,13 @@ def read_config(config_file: str, make_dirs: bool = True) -> Config:
         config.dataset_upsample_factor = parser.getint("training", "dataset_upsample_factor")
     except configparser.Error:
         config.dataset_upsample_factor = 1  # old config file
+    # Extension over the reference: optional global-norm gradient clipping
+    # (0 = off, reference behavior). Stacked GRUs occasionally spike grad
+    # norms >100x; clipping stabilizes higher learning rates.
+    try:
+        config.gradient_clip_norm = parser.getfloat("training", "gradient_clip_norm")
+    except configparser.Error:
+        config.gradient_clip_norm = 0.0
 
     # Total time-decimation factors between waveform samples and label frames
     # (reference data.py:121-128).

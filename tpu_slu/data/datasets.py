@@ -1,0 +1,370 @@
+"""Dataset construction: FSC/Snips/Timers-and-Such SLU and LibriSpeech ASR.
+
+Functional parity with the reference's ``get_SLU_datasets`` /
+``get_ASR_datasets`` / ``SLUDataset`` / ``ASRDataset`` (reference
+``data.py:132-545``): CSV layouts, speaker/dataset subsetting, wording
+filters, slot-value and char vocab construction, phonemes.txt/words.txt
+persistence, upsample factor, random cropping with label striding.
+
+Like the reference, these functions *attach* dataset-derived fields to the
+config (``Sy_intent``, ``values_per_slot``, ``num_phonemes``) — model
+construction depends on them (reference ``data.py:191-233``).
+
+Deviations (documented):
+* subsetting uses positional ``.iloc`` where the reference's ``.loc`` on a
+  filtered frame raises KeyError (reference ``data.py:174``);
+* the seq2seq char vocab is sorted (the reference's ``list(set(...))``
+  order is process-dependent, ``data.py:203-204``);
+* batches are length-bucketed static shapes with per-example weights
+  (see ``loader.py``) instead of exact-max padding.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+from tpu_slu.data.audio import read_wav
+from tpu_slu.data.loader import BatchLoader, pad_to_bucket, pad_wave_batch
+from tpu_slu.data.textgrid import read_textgrid
+
+SLOTS = ("action", "object", "location")
+
+# 0.5 s at 16 kHz: bounds distinct XLA shapes to ~8 buckets on FSC.
+WAVE_BUCKET_QUANT = 8000
+LABEL_BUCKET_QUANT = 16
+
+
+# ---------------------------------------------------------------------------
+# SLU (FSC / Snips / Timers-and-Such)
+# ---------------------------------------------------------------------------
+
+
+def get_SLU_datasets(config):
+    """Build (train, valid, test) SLUDatasets; attaches ``Sy_intent``,
+    ``values_per_slot`` (fixed-intent) or char vocab (seq2seq), and
+    ``num_phonemes`` to the config. Reference ``data.py:132-240``."""
+    base_path = config.slu_path
+    suffix = "_seq2seq" if config.seq2seq else ""
+
+    synthetic_train_df = pd.read_csv(
+        os.path.join(base_path, "data", f"synthetic_data{suffix}.csv")
+    )
+    real_train_df = pd.read_csv(os.path.join(base_path, "data", f"train_data{suffix}.csv"))
+    if "Unnamed: 0" in real_train_df.columns:
+        real_train_df = real_train_df.drop(columns="Unnamed: 0")
+
+    # Random speaker subsetting (reference data.py:150-169)
+    if "speakerId" in real_train_df.columns and "speakerId" in synthetic_train_df.columns:
+        for frame_name, pct in (
+            ("real", config.real_speaker_subset_percentage),
+            ("synthetic", config.synthetic_speaker_subset_percentage),
+        ):
+            if pct < 1:
+                df = real_train_df if frame_name == "real" else synthetic_train_df
+                speakers = np.array(list(Counter(df.speakerId)))
+                np.random.shuffle(speakers)
+                selected = speakers[: round(pct * len(speakers))]
+                df = df[df["speakerId"].isin(selected)]
+                if frame_name == "real":
+                    real_train_df = df
+                else:
+                    synthetic_train_df = df
+    else:
+        real_train_df = real_train_df.drop(columns="speakerId", errors="ignore")
+        synthetic_train_df = synthetic_train_df.drop(columns="speakerId", errors="ignore")
+        if config.real_speaker_subset_percentage < 1 or config.synthetic_speaker_subset_percentage < 1:
+            print("no speaker id listed in dataset .csv; ignoring speaker subset selection")
+
+    # Random dataset subsetting (reference data.py:171-179; .iloc, see module doc)
+    if config.real_dataset_subset_percentage < 1:
+        size = round(config.real_dataset_subset_percentage * len(real_train_df))
+        real_train_df = real_train_df.iloc[
+            np.random.choice(len(real_train_df), size, replace=False)
+        ]
+    if config.synthetic_dataset_subset_percentage < 1:
+        size = round(config.synthetic_dataset_subset_percentage * len(synthetic_train_df))
+        synthetic_train_df = synthetic_train_df.iloc[
+            np.random.choice(len(synthetic_train_df), size, replace=False)
+        ]
+
+    train_df = pd.concat([synthetic_train_df, real_train_df]).reset_index()
+    valid_df = pd.read_csv(os.path.join(base_path, "data", f"valid_data{suffix}.csv"))
+    test_df = pd.read_csv(os.path.join(base_path, "data", f"test_data{suffix}.csv"))
+
+    if not config.seq2seq:
+        # Slot-value vocab from the training split (reference data.py:191-199)
+        Sy_intent = {slot: {} for slot in SLOTS}
+        values_per_slot = []
+        for slot in SLOTS:
+            slot_values = Counter(train_df[slot])
+            for idx, value in enumerate(slot_values):
+                Sy_intent[slot][value] = idx
+            values_per_slot.append(len(slot_values))
+        config.values_per_slot = values_per_slot
+        config.Sy_intent = Sy_intent
+    else:
+        # Char vocab over semantics strings + all printable chars
+        # (reference data.py:201-208; sorted for determinism)
+        import string
+
+        all_chars = "".join(train_df["semantics"].astype(str)) + string.printable
+        Sy_intent = ["<sos>"] + sorted(set(all_chars)) + ["<eos>"]
+        config.Sy_intent = Sy_intent
+
+    # Wording filters (reference data.py:211-223)
+    if config.train_wording_path is not None:
+        with open(config.train_wording_path) as f:
+            wordings = [line.strip() for line in f]
+        train_df = train_df.loc[train_df.transcription.isin(wordings)].reset_index(drop=True)
+    if config.test_wording_path is not None:
+        with open(config.test_wording_path) as f:
+            wordings = [line.strip() for line in f]
+        valid_df = valid_df.loc[valid_df.transcription.isin(wordings)].reset_index(drop=True)
+        test_df = test_df.loc[test_df.transcription.isin(wordings)].reset_index(drop=True)
+
+    # num_phonemes from the archived pretraining vocab (reference data.py:226-233)
+    phones_path = os.path.join(config.folder, "pretraining", "phonemes.txt")
+    if os.path.isfile(phones_path):
+        with open(phones_path) as f:
+            Sy_phoneme = [line.rstrip("\n") for line in f if line.rstrip("\n") != ""]
+        config.num_phonemes = len(Sy_phoneme)
+    else:
+        print("No phoneme file found.")
+
+    train = SLUDataset(train_df, base_path, Sy_intent, config,
+                       upsample_factor=config.dataset_upsample_factor, shuffle=True)
+    valid = SLUDataset(valid_df, base_path, Sy_intent, config)
+    test = SLUDataset(test_df, base_path, Sy_intent, config)
+    return train, valid, test
+
+
+class SLUDataset:
+    """Map-style SLU dataset; owns its batch loader (reference data.py:246-329)."""
+
+    def __init__(self, df, base_path, Sy_intent, config, upsample_factor=1, shuffle=False):
+        self.df = df.reset_index(drop=True)
+        self.base_path = base_path
+        self.Sy_intent = Sy_intent
+        self.upsample_factor = upsample_factor
+        self.seq2seq = config.seq2seq
+        self.augment = getattr(config, "augment", False) and shuffle  # train split only
+        self._rng = np.random.default_rng(config.seed)
+        collate = CollateWavsSLU(Sy_intent, self.seq2seq, config.training_batch_size)
+        self.loader = BatchLoader(
+            self, config.training_batch_size, collate, shuffle=shuffle, seed=config.seed
+        )
+
+    def __len__(self):
+        return len(self.df) * self.upsample_factor
+
+    def __getitem__(self, idx):
+        idx = idx % len(self.df)
+        row = self.df.loc[idx]
+        x, _fs = read_wav(os.path.join(self.base_path, row.path))
+        if self.augment:
+            x = _augment_wave(x, self._rng)
+        if not self.seq2seq:
+            y = [self.Sy_intent[slot][row[slot]] for slot in SLOTS]
+        else:
+            y = (
+                [self.Sy_intent.index("<sos>")]
+                + [self.Sy_intent.index(c) for c in row["semantics"]]
+                + [self.Sy_intent.index("<eos>")]
+            )
+        return x, y
+
+
+def _augment_wave(x, rng):
+    """Working train-time augmentation (the reference's is dead code,
+    reference data.py:257,276): speed perturbation (resampling), gain,
+    additive noise at SNR ∈ {0,5,10,15,20} dB."""
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    speed = rng.uniform(0.9, 1.1)
+    up, down = round(speed * 100), 100
+    g = gcd(up, down)
+    x = resample_poly(x, down // g, up // g).astype(np.float32)
+    x = x * (10.0 ** (rng.uniform(-10, 10) / 20.0))
+    snr = rng.choice([0, 5, 10, 15, 20])
+    noise = rng.standard_normal(len(x)).astype(np.float32)
+    s_db = 10 * np.log10(1e-12 + float(x @ x) / len(x))
+    n_db = 10 * np.log10(1e-12 + float(noise @ noise) / len(noise))
+    return x + noise * 10.0 ** ((s_db - snr - n_db) / 20.0)
+
+
+class CollateWavsSLU:
+    """Pad/stack variable-length items into a static-shape batch dict."""
+
+    def __init__(self, Sy_intent, seq2seq, batch_size):
+        self.Sy_intent = Sy_intent
+        self.seq2seq = seq2seq
+        self.batch_size = batch_size
+        if seq2seq:
+            self.num_labels = len(Sy_intent)
+            self.eos = Sy_intent.index("<eos>")
+
+    def __call__(self, items):
+        waves = [x for x, _ in items]
+        x, w = pad_wave_batch(waves, self.batch_size, WAVE_BUCKET_QUANT)
+        if not self.seq2seq:
+            y = np.zeros((self.batch_size, len(SLOTS)), np.int32)
+            for i, (_, y_) in enumerate(items):
+                y[i] = y_
+            return {"x": x, "y_intent": y, "w": w}
+        u_max = pad_to_bucket(max(len(y_) for _, y_ in items), LABEL_BUCKET_QUANT)
+        ids = np.full((self.batch_size, u_max), self.eos, np.int64)
+        for i, (_, y_) in enumerate(items):
+            ids[i, : len(y_)] = y_
+        onehot = np.zeros((self.batch_size, u_max, self.num_labels), np.float32)
+        np.put_along_axis(onehot, ids[:, :, None], 1.0, axis=2)
+        return {"x": x, "y_intent": onehot, "w": w}
+
+
+# ---------------------------------------------------------------------------
+# ASR (LibriSpeech + forced alignments)
+# ---------------------------------------------------------------------------
+
+
+def get_ASR_datasets(config):
+    """Build (train, valid, test) ASRDatasets from alignment TextGrids;
+    attaches ``num_phonemes``. Reference ``data.py:393-452``."""
+    base_path = config.asr_path
+
+    splits = {}
+    for split, pattern in (("train", "train*"), ("valid", "dev*"), ("test", "test*")):
+        tg = sorted(glob.glob(os.path.join(base_path, "text", pattern, "*", "*", "*.TextGrid")))
+        wav = [p.replace("text", "audio").replace(".TextGrid", ".wav") for p in tg]
+        splits[split] = (wav, tg)
+
+    phones_path = os.path.join(config.folder, "pretraining", "phonemes.txt")
+    words_path = os.path.join(config.folder, "pretraining", "words.txt")
+    if os.path.isfile(phones_path) and os.path.isfile(words_path):
+        with open(phones_path) as f:
+            Sy_phoneme = [line.rstrip("\n") for line in f if line.rstrip("\n") != ""]
+        with open(words_path) as f:
+            Sy_word = [line.rstrip("\n") for line in f]
+        config.num_phonemes = len(Sy_phoneme)
+    else:
+        # Vocab built from the *valid* split — a reference quirk preserved
+        # because the persisted phonemes.txt/words.txt define checkpoint head
+        # layouts (reference data.py:425-435).
+        print("Getting vocabulary...")
+        phoneme_counter: Counter = Counter()
+        word_counter: Counter = Counter()
+        for path in splits["valid"][1]:
+            tiers = read_textgrid(path)
+            phoneme_counter.update(
+                iv.mark.rstrip("0123456789") for iv in tiers["phones"] if iv.mark != ""
+            )
+            word_counter.update(iv.mark for iv in tiers["words"])
+        Sy_phoneme = list(phoneme_counter)
+        Sy_word = [w for w, _ in word_counter.most_common(config.vocabulary_size)]
+        config.num_phonemes = len(Sy_phoneme)
+        with open(phones_path, "w") as f:
+            f.writelines(p + "\n" for p in Sy_phoneme)
+        with open(words_path, "w") as f:
+            f.writelines(w + "\n" for w in Sy_word)
+    print("Done.")
+
+    return tuple(
+        ASRDataset(*splits[s], Sy_phoneme, Sy_word, config, shuffle=(s == "train"))
+        for s in ("train", "valid", "test")
+    )
+
+
+class ASRDataset:
+    """LibriSpeech wav + TextGrid alignment dataset (reference data.py:454-509).
+
+    ``__getitem__`` expands intervals into per-sample phoneme/word index
+    streams (unknown -> -1), crops a random ~N(length_mean, length_var) s
+    window (min 0.5 s), and strides labels down to the 25 Hz / 6.25 Hz
+    encoder frame rates.
+    """
+
+    def __init__(self, wav_paths, textgrid_paths, Sy_phoneme, Sy_word, config, shuffle=False):
+        self.wav_paths = wav_paths
+        self.textgrid_paths = textgrid_paths
+        self.length_mean = config.pretraining_length_mean
+        self.length_var = config.pretraining_length_var
+        self.Sy_phoneme = Sy_phoneme
+        self.Sy_word = Sy_word
+        self._phoneme_ids = {p: i for i, p in enumerate(Sy_phoneme)}
+        self._word_ids = {w: i for i, w in enumerate(Sy_word)}
+        self.phone_downsample_factor = config.phone_downsample_factor
+        self.word_downsample_factor = config.word_downsample_factor
+        self._rng = np.random.default_rng(config.seed)
+        collate = CollateWavsASR(
+            config.pretraining_batch_size,
+            self.phone_downsample_factor,
+            self.word_downsample_factor,
+        )
+        self.loader = BatchLoader(
+            self, config.pretraining_batch_size, collate, shuffle=shuffle, seed=config.seed
+        )
+
+    def __len__(self):
+        return len(self.wav_paths)
+
+    def __getitem__(self, idx):
+        x, fs = read_wav(self.wav_paths[idx])
+        tiers = read_textgrid(self.textgrid_paths[idx])
+
+        y_phoneme_parts = []
+        for iv in tiers["phones"]:
+            mark = iv.mark.rstrip("0123456789")
+            pid = -1 if iv.mark == "" else self._phoneme_ids.get(mark, -1)
+            y_phoneme_parts.append(
+                np.full(round((iv.maxTime - iv.minTime) * fs), pid, np.int32)
+            )
+        y_phoneme = np.concatenate(y_phoneme_parts) if y_phoneme_parts else np.zeros(0, np.int32)
+
+        y_word_parts = []
+        for iv in tiers["words"]:
+            wid = self._word_ids.get(iv.mark, -1)
+            y_word_parts.append(np.full(round((iv.maxTime - iv.minTime) * fs), wid, np.int32))
+        y_word = np.concatenate(y_word_parts) if y_word_parts else np.zeros(0, np.int32)
+
+        # Random crop (reference data.py:498-505)
+        random_length = round(
+            fs * max(self.length_mean + self.length_var * self._rng.standard_normal(), 0.5)
+        )
+        if len(x) <= random_length:
+            start = 0
+        else:
+            start = int(self._rng.integers(0, len(x) - random_length))
+        end = start + random_length
+
+        x = x[start:end]
+        y_phoneme = y_phoneme[start:end: self.phone_downsample_factor]
+        y_word = y_word[start:end: self.word_downsample_factor]
+        return x, y_phoneme, y_word
+
+
+class CollateWavsASR:
+    """Static-shape ASR batch: waveform bucket-padded with zeros, labels padded
+    with -1 (ignore index) out to the model's frame count for that bucket."""
+
+    def __init__(self, batch_size, phone_ds, word_ds):
+        self.batch_size = batch_size
+        self.phone_ds = phone_ds
+        self.word_ds = word_ds
+
+    def __call__(self, items):
+        waves = [x for x, _, _ in items]
+        x, w = pad_wave_batch(waves, self.batch_size, WAVE_BUCKET_QUANT)
+        t_pad = x.shape[1]
+        n_phone = -(-t_pad // self.phone_ds)  # ceil: matches encoder frame count
+        n_word = -(-t_pad // self.word_ds)
+        y_phoneme = np.full((self.batch_size, n_phone), -1, np.int32)
+        y_word = np.full((self.batch_size, n_word), -1, np.int32)
+        for i, (_, yp, yw) in enumerate(items):
+            y_phoneme[i, : len(yp)] = yp[:n_phone]
+            y_word[i, : len(yw)] = yw[:n_word]
+        return {"x": x, "y_phoneme": y_phoneme, "y_word": y_word, "w": w}

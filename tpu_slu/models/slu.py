@@ -88,19 +88,27 @@ def intent_logits(params, arch: IntentArch, feats, *, train=False, rng=None, gru
     return jnp.max(out, axis=1)  # FinalPool: max over time (models.py:116-123)
 
 
-def intent_loss_acc(logits, y_intent, values_per_slot):
-    """Per-slot CE summed + all-slots-correct accuracy (models.py:811-821)."""
+def intent_loss_acc(logits, y_intent, values_per_slot, weights=None):
+    """Per-slot CE summed + all-slots-correct accuracy (models.py:811-821).
+
+    ``weights`` (B,) marks real vs batch-padding examples (see loader.py);
+    losses/metrics are weighted means over real examples.
+    """
+    w = jnp.ones((logits.shape[0],), jnp.float32) if weights is None else weights
+    denom = jnp.maximum(w.sum(), 1.0)
     loss = 0.0
     correct = None
     start = 0
     for slot, n in enumerate(values_per_slot):
         sub = logits[:, start : start + n]
         logp = jax.nn.log_softmax(sub, axis=-1)
-        loss = loss - jnp.take_along_axis(logp, y_intent[:, slot : slot + 1], axis=1).mean()
+        nll = -jnp.take_along_axis(logp, y_intent[:, slot : slot + 1], axis=1)[:, 0]
+        loss = loss + (nll * w).sum() / denom
         ok = jnp.argmax(sub, axis=1) == y_intent[:, slot]
         correct = ok if correct is None else (correct & ok)
         start += n
-    return loss, correct.astype(jnp.float32).mean()
+    acc = (correct.astype(jnp.float32) * w).sum() / denom
+    return loss, acc
 
 
 def intent_predictions(logits, values_per_slot):

@@ -5,7 +5,7 @@ and the cuDNN GRU/conv kernels it inherits from PyTorch.
 """
 
 from tpu_slu.ops.sinc import sinc_filters, sinc_conv
-from tpu_slu.ops.conv import conv1d, max_pool1d_ceil, avg_pool1d_ceil, downsample
+from tpu_slu.ops.conv import conv1d, max_pool1d_ceil, avg_pool1d_ceil, downsample, leaky_relu
 from tpu_slu.ops.gru import GRUParams, gru_init, gru_apply, bigru_apply, gru_cell_step
 
 __all__ = [
@@ -15,6 +15,7 @@ __all__ = [
     "max_pool1d_ceil",
     "avg_pool1d_ceil",
     "downsample",
+    "leaky_relu",
     "GRUParams",
     "gru_init",
     "gru_apply",

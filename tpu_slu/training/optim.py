@@ -1,0 +1,65 @@
+"""Masked Adam with per-leaf step counts (torch-equivalent freezing semantics).
+
+The reference freezes layers by flipping ``requires_grad`` and hands *all*
+params to ``torch.optim.Adam`` (reference ``training.py:19``): frozen params
+simply never receive grads, and torch's lazy per-param state means a layer
+unfrozen at epoch k starts with fresh moments and bias-correction step 1.
+
+A functional equivalent that never recompiles: the trainable mask is a
+*traced* 0/1 pytree argument to the jitted train step. Masked leaves keep
+their moments and step count untouched; newly-unfrozen leaves start stepping
+from 0 — exactly torch's behavior under the ULMFiT schedule.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def adam_init(params):
+    return {
+        "m": jax.tree.map(jnp.zeros_like, params),
+        "v": jax.tree.map(jnp.zeros_like, params),
+        "step": jax.tree.map(lambda p: jnp.zeros((), jnp.int32), params),
+    }
+
+
+def adam_update(params, grads, state, mask, lr, b1=0.9, b2=0.999, eps=1e-8):
+    """One masked Adam step. mask: 0/1 pytree (same structure as params)."""
+
+    def leaf(p, g, m, v, step, mk):
+        on = mk > 0.0
+        step_new = jnp.where(on, step + 1, step)
+        m_new = jnp.where(on, b1 * m + (1.0 - b1) * g, m)
+        v_new = jnp.where(on, b2 * v + (1.0 - b2) * g * g, v)
+        # Guard step 0 (frozen-so-far leaves): denominator 1, update masked out.
+        t = jnp.maximum(step_new, 1).astype(jnp.float32)
+        m_hat = m_new / (1.0 - b1**t)
+        v_hat = v_new / (1.0 - b2**t)
+        upd = lr * m_hat / (jnp.sqrt(v_hat) + eps)
+        p_new = jnp.where(on, p - upd, p)
+        return p_new, m_new, v_new, step_new
+
+    flat_p, treedef = jax.tree.flatten(params)
+    flat_g = treedef.flatten_up_to(grads)
+    flat_m = treedef.flatten_up_to(state["m"])
+    flat_v = treedef.flatten_up_to(state["v"])
+    flat_s = treedef.flatten_up_to(state["step"])
+    flat_mask = treedef.flatten_up_to(mask)
+
+    out_p, out_m, out_v, out_s = [], [], [], []
+    for p, g, m, v, s, mk in zip(flat_p, flat_g, flat_m, flat_v, flat_s, flat_mask):
+        np_, nm, nv, ns = leaf(p, g, m, v, s, jnp.asarray(mk, jnp.float32))
+        out_p.append(np_)
+        out_m.append(nm)
+        out_v.append(nv)
+        out_s.append(ns)
+
+    new_params = jax.tree.unflatten(treedef, out_p)
+    new_state = {
+        "m": jax.tree.unflatten(treedef, out_m),
+        "v": jax.tree.unflatten(treedef, out_v),
+        "step": jax.tree.unflatten(treedef, out_s),
+    }
+    return new_params, new_state

@@ -1,0 +1,335 @@
+"""Training engine: jitted train/eval steps, epoch loop, logging, checkpoints.
+
+Rebuild of the reference ``Trainer`` (reference ``training.py:9-171``):
+Adam (lr from pretraining_lr/training_lr by model type), per-epoch train/test
+over the dataset loaders, ``log.csv`` rows per pass, per-epoch checkpoints,
+and the per-epoch ``unfreeze_one_layer()`` ULMFiT trigger for SLU training.
+
+TPU design points:
+
+* One jitted train step per model type, with the trainable mask and RNG as
+  *traced* arguments — the unfreezing schedule never triggers a recompile
+  (SURVEY.md §7 hard part c). Params/opt-state buffers are donated.
+* Length-bucketed batches mean a handful of compiled variants per step.
+* Unlike the reference (which silently resumes with a fresh optimizer and
+  epoch 0, reference ``training.py:20-33``), checkpoints include optimizer
+  moments, epoch counter, and the unfreezing index.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+
+import jax
+import jax.numpy as jnp
+
+from tpu_slu.data.datasets import ASRDataset
+from tpu_slu.models import encoder as enc
+from tpu_slu.models import slu as slu_mod
+from tpu_slu.models.encoder import PretrainedModel
+from tpu_slu.training import checkpoint as ckpt
+from tpu_slu.training.optim import adam_init, adam_update
+
+
+def _weighted_mean(total, count):
+    return total / max(count, 1e-9)
+
+
+class Trainer:
+    def __init__(self, model, config):
+        self.model = model
+        self.config = config
+        self.is_pretraining = isinstance(model, PretrainedModel)
+        if self.is_pretraining:
+            self.lr = config.pretraining_lr
+            self.checkpoint_path = os.path.join(config.folder, "pretraining")
+        else:
+            self.lr = config.training_lr
+            self.checkpoint_path = os.path.join(config.folder, "training")
+        os.makedirs(self.checkpoint_path, exist_ok=True)
+        self.opt_state = adam_init(model.params)
+        self.epoch = 0
+        self._rows: list[dict] = []
+        self._base_rng = jax.random.PRNGKey(config.seed)
+        self._step_count = 0
+        self._build_steps()
+
+    # -- jitted steps ---------------------------------------------------------
+
+    def _build_steps(self):
+        lr = self.lr
+        clip = getattr(self.config, "gradient_clip_norm", 0.0)
+
+        def clip_grads(grads):
+            if clip <= 0.0:
+                return grads
+            gnorm = jnp.sqrt(
+                sum(jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads))
+            )
+            scale = jnp.minimum(1.0, clip / (gnorm + 1e-9))
+            return jax.tree.map(lambda g: g * scale, grads)
+
+        if self.is_pretraining:
+            arch = self.model.arch
+            ptype = self.config.pretraining_type
+
+            def train_step(params, opt_state, rng, batch):
+                def loss_fn(p):
+                    pl_, wl, pa, wa = enc.encoder_loss(
+                        p, arch, batch["x"], batch["y_phoneme"], batch["y_word"],
+                        train=True, rng=rng,
+                    )
+                    loss = {1: pl_, 2: pl_ + wl, 3: wl}[ptype]
+                    return loss, (pl_, wl, pa, wa)
+
+                grads, aux = jax.grad(loss_fn, has_aux=True)(params)
+                grads = clip_grads(grads)
+                mask = jax.tree.map(lambda _: 1.0, params)
+                params, opt_state = adam_update(params, grads, opt_state, mask, lr)
+                return params, opt_state, aux
+
+            def eval_step(params, batch):
+                return enc.encoder_loss(
+                    params, arch, batch["x"], batch["y_phoneme"], batch["y_word"], train=False
+                )
+
+            self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+            self._eval_step = jax.jit(eval_step)
+            return
+
+        model = self.model
+        earch = model.encoder_arch
+        if not model.seq2seq:
+            iarch = model.intent_arch
+
+            def loss_fn_builder(x, y, w, train, rng):
+                def loss_fn(p):
+                    r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
+                    feats = enc.encoder_features(
+                        p["pretrained_model"], earch, x, train=train, rng=r1
+                    )
+                    logits = slu_mod.intent_logits(
+                        p["intent_layers"], iarch, feats, train=train, rng=r2
+                    )
+                    return slu_mod.intent_loss_acc(logits, y, iarch.values_per_slot, w)
+
+                return loss_fn
+
+        else:
+            sarch = model.seq2seq_arch
+
+            def loss_fn_builder(x, y, w, train, rng):
+                def loss_fn(p):
+                    r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
+                    feats = enc.encoder_features(
+                        p["pretrained_model"], earch, x, train=train, rng=r1
+                    )
+                    log_p = slu_mod.seq2seq_log_prob(p, sarch, feats, y, train=train, rng=r2)
+                    denom = jnp.maximum(w.sum(), 1.0)
+                    return -(log_p * w).sum() / denom, jnp.zeros((), jnp.float32)
+
+                return loss_fn
+
+        def full_train_step(params, opt_state, mask, rng, batch):
+            loss_fn = loss_fn_builder(batch["x"], batch["y_intent"], batch["w"], True, rng)
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            grads = clip_grads(grads)
+            params, opt_state = adam_update(params, grads, opt_state, mask, lr)
+            return params, opt_state, (loss, acc)
+
+        def eval_step(params, batch):
+            loss_fn = loss_fn_builder(batch["x"], batch["y_intent"], batch["w"], False, None)
+            return loss_fn(params)
+
+        self._train_step = jax.jit(full_train_step, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(eval_step)
+
+    def _next_rng(self):
+        self._step_count += 1
+        return jax.random.fold_in(self._base_rng, self._step_count)
+
+    # -- checkpointing (reference training.py:23-39) --------------------------
+
+    def load_checkpoint(self):
+        model_path = os.path.join(self.checkpoint_path, "model_state.npz")
+        if os.path.isfile(model_path):
+            try:
+                self.model.params = ckpt.load_pytree(model_path, self.model.params)
+            except Exception as e:  # parity: fall back to scratch
+                print(f"Could not load previous model; starting from scratch ({e})")
+                return
+        else:
+            print("No previous model; starting from scratch")
+            return
+        trainer_path = os.path.join(self.checkpoint_path, "trainer_state.npz")
+        if os.path.isfile(trainer_path):
+            try:
+                state = ckpt.load_pytree(
+                    trainer_path,
+                    {
+                        "opt": self.opt_state,
+                        "epoch": np.zeros((), np.int32),
+                        "unfreezing_index": np.zeros((), np.int32),
+                        "unfrozen_count": np.zeros((), np.int32),
+                    },
+                )
+                self.opt_state = state["opt"]
+                self.epoch = int(state["epoch"])
+                if not self.is_pretraining:
+                    self.model.unfreezing_index = int(state["unfreezing_index"])
+                    self.model._unfrozen_count = int(state["unfrozen_count"])
+            except Exception as e:
+                print(f"Could not load trainer state; optimizer starts fresh ({e})")
+
+    def save_checkpoint(self):
+        try:
+            ckpt.save_pytree(
+                os.path.join(self.checkpoint_path, "model_state.npz"), self.model.params
+            )
+            ckpt.save_pytree(
+                os.path.join(self.checkpoint_path, "trainer_state.npz"),
+                {
+                    "opt": self.opt_state,
+                    "epoch": np.asarray(self.epoch, np.int32),
+                    "unfreezing_index": np.asarray(
+                        getattr(self.model, "unfreezing_index", 0), np.int32
+                    ),
+                    "unfrozen_count": np.asarray(
+                        getattr(self.model, "_unfrozen_count", 0), np.int32
+                    ),
+                },
+            )
+        except Exception as e:
+            print(f"Could not save model ({e})")
+
+    def log(self, results: dict):
+        self._rows.append(results)
+        pd.DataFrame(self._rows).to_csv(os.path.join(self.checkpoint_path, "log.csv"))
+
+    # -- epochs ----------------------------------------------------------------
+
+    def train(self, dataset, print_interval: int = 100):
+        if isinstance(dataset, ASRDataset):
+            return self._train_asr(dataset, print_interval)
+        return self._train_slu(dataset, print_interval)
+
+    def _train_asr(self, dataset, print_interval):
+        totals = {"phone_loss": 0.0, "phone_acc": 0.0, "word_loss": 0.0, "word_acc": 0.0}
+        num_examples = 0.0
+        t0 = time.time()
+        for idx, batch in enumerate(dataset.loader):
+            bs = float(batch["w"].sum())
+            num_examples += bs
+            self.model.params, self.opt_state, aux = self._train_step(
+                self.model.params, self.opt_state, self._next_rng(), batch
+            )
+            pl_, wl, pa, wa = (float(a) for a in aux)
+            totals["phone_loss"] += pl_ * bs
+            totals["word_loss"] += wl * bs
+            totals["phone_acc"] += pa * bs
+            totals["word_acc"] += wa * bs
+            if idx % print_interval == 0:
+                print(f"phoneme loss: {pl_}")
+                print(f"word loss: {wl}")
+                print(f"phoneme acc: {pa}")
+                print(f"word acc: {wa}")
+        results = {k: _weighted_mean(v, num_examples) for k, v in totals.items()}
+        results["set"] = "train"
+        results["examples_per_sec"] = num_examples / max(time.time() - t0, 1e-9)
+        self.log(results)
+        self.epoch += 1
+        return (
+            results["phone_acc"],
+            results["phone_loss"],
+            results["word_acc"],
+            results["word_loss"],
+        )
+
+    def _train_slu(self, dataset, print_interval):
+        total_loss = 0.0
+        total_acc = 0.0
+        num_examples = 0.0
+        t0 = time.time()
+        self.model.print_frozen()
+        mask = self.model.trainable_mask()
+        for idx, batch in enumerate(dataset.loader):
+            bs = float(batch["w"].sum())
+            num_examples += bs
+            self.model.params, self.opt_state, (loss, acc) = self._train_step(
+                self.model.params, self.opt_state, mask, self._next_rng(), batch
+            )
+            total_loss += float(loss) * bs
+            total_acc += float(acc) * bs
+            if idx % print_interval == 0:
+                print(f"intent loss: {float(loss)}")
+                print(f"intent acc: {float(acc)}")
+        self.model.unfreeze_one_layer()  # per-epoch ULMFiT trigger (training.py:115)
+        results = {
+            "intent_loss": _weighted_mean(total_loss, num_examples),
+            "intent_acc": _weighted_mean(total_acc, num_examples),
+            "set": "train",
+            "examples_per_sec": num_examples / max(time.time() - t0, 1e-9),
+        }
+        self.log(results)
+        self.epoch += 1
+        return results["intent_acc"], results["intent_loss"]
+
+    def test(self, dataset, log_set: str = "valid"):
+        if isinstance(dataset, ASRDataset):
+            totals = {"phone_loss": 0.0, "phone_acc": 0.0, "word_loss": 0.0, "word_acc": 0.0}
+            num_examples = 0.0
+            for batch in dataset.loader:
+                bs = float(batch["w"].sum())
+                num_examples += bs
+                pl_, wl, pa, wa = (float(a) for a in self._eval_step(self.model.params, batch))
+                totals["phone_loss"] += pl_ * bs
+                totals["word_loss"] += wl * bs
+                totals["phone_acc"] += pa * bs
+                totals["word_acc"] += wa * bs
+            results = {k: _weighted_mean(v, num_examples) for k, v in totals.items()}
+            results["set"] = log_set
+            self.log(results)
+            return (
+                results["phone_acc"],
+                results["phone_loss"],
+                results["word_acc"],
+                results["word_loss"],
+            )
+
+        total_loss = 0.0
+        total_acc = 0.0
+        num_examples = 0.0
+        for idx, batch in enumerate(dataset.loader):
+            bs = float(batch["w"].sum())
+            num_examples += bs
+            loss, acc = self._eval_step(self.model.params, batch)
+            total_loss += float(loss) * bs
+            total_acc += float(acc) * bs
+            if self.model.seq2seq and self.epoch > 1:
+                # String-exact-match accuracy via beam decode
+                # (reference training.py:158-165)
+                n_real = int(batch["w"].sum())
+                guesses = np.array(self.model.decode_intents(batch["x"][:n_real]))
+                truths = np.array(
+                    [
+                        self.model.one_hot_to_string(batch["y_intent"][i], self.model.Sy_intent)
+                        for i in range(n_real)
+                    ]
+                )
+                match = float((guesses == truths).mean())
+                total_acc += match * bs
+                print(f"decoding batch {idx}")
+                print(f"acc: {match}")
+                print(f"guess: {guesses[0]}")
+                print(f"truth: {truths[0]}")
+        results = {
+            "intent_loss": _weighted_mean(total_loss, num_examples),
+            "intent_acc": _weighted_mean(total_acc, num_examples),
+            "set": log_set,
+        }
+        self.log(results)
+        return results["intent_acc"], results["intent_loss"]
