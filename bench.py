@@ -1,0 +1,154 @@
+"""Benchmark: flagship encoder forward throughput on one chip.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+
+Primary metric (BASELINE.json): FSC utterances/sec/chip on the encoder
+forward (sinc front-end + 4 stacked bi-GRU stages, default no_unfreezing
+topology, B=64, 4 s utterances @16 kHz). Timing is amortized over queued
+iterations with a device->host sync at the end — per-call wall time through
+the axon relay is dominated by ~70 ms RPC latency that a production input
+pipeline (queued steps) never pays.
+
+``vs_baseline`` compares against the reference PyTorch implementation's
+encoder forward measured on this machine's CPU (the only hardware the
+reference can run on here): 90.8 utt/s (B=16, torch 2.13 CPU, measured
+2026-08-16 via the functional torch oracle in tests/test_models.py; remeasure
+with --measure-baseline). The reference repo publishes no GPU throughput
+numbers (SURVEY.md §6).
+
+Extra fields (informational, not part of the contract): p50 single-utterance
+decode-path latency and the scan-vs-pallas GRU implementation used.
+"""
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+TORCH_CPU_BASELINE_UTT_S = 90.8  # see module docstring
+
+
+def measure_torch_baseline(batch=16, seconds=4.0):
+    import torch
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0] + "/tests")
+    import __graft_entry__
+    from test_models import torch_encoder_features
+    from tpu_slu.models.slu import Model
+    from tpu_slu.models.torch_import import export_pretrained_state_dict
+
+    config = __graft_entry__._make_config(tempfile.mkdtemp(), small=False)
+    model = Model(config)
+    state = export_pretrained_state_dict(model.params["pretrained_model"], model.encoder_arch)
+    x = np.random.default_rng(0).standard_normal((batch, int(seconds * 16000))).astype(np.float32)
+    with torch.no_grad():
+        torch_encoder_features(state, config, x)
+        t0 = time.time()
+        n = 3
+        for _ in range(n):
+            torch_encoder_features(state, config, x)
+        dt = time.time() - t0
+    return batch * n / dt
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--seconds", type=float, default=4.0)
+    parser.add_argument("--iters", type=int, default=100)
+    parser.add_argument("--gru-impl", choices=["auto", "scan", "pallas"], default="auto")
+    parser.add_argument("--measure-baseline", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", __file__.rsplit("/", 1)[0] + "/.jax_cache")
+
+    import __graft_entry__
+    from tpu_slu.models import encoder as enc
+    from tpu_slu.models.slu import Model, intent_logits, intent_predictions
+    from tpu_slu.ops.pallas_gru import gru_pallas_available
+
+    gru_impl = args.gru_impl
+    if gru_impl == "auto":
+        gru_impl = "pallas" if gru_pallas_available() else "scan"
+
+    config = __graft_entry__._make_config(tempfile.mkdtemp(), small=False)
+    model = Model(config)
+    earch, iarch = model.encoder_arch, model.intent_arch
+    params = model.params["pretrained_model"]
+
+    B, T = args.batch, int(args.seconds * 16000)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((B, T), np.float32))
+
+    fwd = jax.jit(lambda p, x: enc.encoder_features(p, earch, x, gru_impl=gru_impl))
+
+    t0 = time.time()
+    np.asarray(fwd(params, x))
+    compile_s = time.time() - t0
+
+    # Device-time throughput via two-point slope: K queued executions + one
+    # sync, minus the 1-execution baseline, divides out the host<->device RPC
+    # overhead (the axon relay costs ~70 ms per sync, which a pipelined
+    # training/serving loop never pays per step).
+    def run(k):
+        t0 = time.time()
+        for _ in range(k):
+            out = fwd(params, x)
+        np.asarray(out)
+        return time.time() - t0
+
+    run(2)  # warmup
+    t1 = min(run(1) for _ in range(3))
+    tk = min(run(args.iters + 1) for _ in range(2))
+    dt = max((tk - t1) / args.iters, 1e-6)
+    utt_per_s = B / dt
+
+    # p50 decode-path latency: single utterance, encoder + intent head + argmax
+    decode = jax.jit(
+        lambda p, x: intent_predictions(
+            intent_logits(
+                p["intent_layers"], iarch,
+                enc.encoder_features(p["pretrained_model"], earch, x, gru_impl=gru_impl),
+            ),
+            iarch.values_per_slot,
+        )
+    )
+    x1 = jnp.asarray(np.random.default_rng(1).standard_normal((1, 57600), np.float32))
+    np.asarray(decode(model.params, x1))
+    lat = []
+    for _ in range(15):
+        t0 = time.time()
+        np.asarray(decode(model.params, x1))
+        lat.append(time.time() - t0)
+    p50_ms = float(np.percentile(lat, 50) * 1000)
+
+    baseline = measure_torch_baseline() if args.measure_baseline else TORCH_CPU_BASELINE_UTT_S
+
+    print(
+        json.dumps(
+            {
+                "metric": "fsc_encoder_fwd_utterances_per_sec_per_chip",
+                "value": round(utt_per_s, 1),
+                "unit": "utt/s/chip (B=%d, %gs audio)" % (B, args.seconds),
+                "vs_baseline": round(utt_per_s / baseline, 2),
+                "baseline": "reference torch-CPU encoder fwd %.1f utt/s" % baseline,
+                "p50_decode_ms": round(p50_ms, 1),
+                "gru_impl": gru_impl,
+                "ms_per_iter_device": round(dt * 1000, 3),
+                "compile_s": round(compile_s, 1),
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,247 @@
+"""Seq2seq head parity (attention, teacher-forced log-prob) + beam search.
+
+Oracles: a functional torch re-execution of the decoder math (independent of
+our JAX code paths), and a straightforward NumPy beam search implementing the
+reference's search semantics (models.py:558-651) for the jitted scan version
+to match.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tests import fixtures
+from tpu_slu import read_config
+from tpu_slu.models import slu as slu_mod
+from tpu_slu.models.slu import Model, Seq2SeqArch, init_seq2seq_params
+from tpu_slu.ops.attention import attend, attention_init
+
+
+@pytest.fixture
+def config(tmp_path):
+    path = fixtures.write_cfg(str(tmp_path / "c.cfg"), folder=str(tmp_path / "exp"),
+                              seq2seq=True)
+    config = read_config(path)
+    config.num_phonemes = 5
+    config.Sy_intent = ["<sos>", "a", "b", "c", "<eos>"]
+    return config
+
+
+def t2n(t):
+    return t.detach().numpy()
+
+
+class TestAttention:
+    def test_matches_torch(self, rng):
+        E, D, K, V, B, T = 12, 8, 6, 10, 3, 7
+        params = attention_init(jax.random.PRNGKey(0), E, D, K, V)
+        enc_states = rng.standard_normal((B, T, E), dtype=np.float32)
+        dec_state = rng.standard_normal((B, D), dtype=np.float32)
+
+        got = np.asarray(attend(params, jnp.asarray(enc_states), jnp.asarray(dec_state)))
+
+        keys = torch.from_numpy(enc_states) @ torch.from_numpy(np.asarray(params["key"]["w"])) + torch.from_numpy(np.asarray(params["key"]["b"]))
+        values = torch.from_numpy(enc_states) @ torch.from_numpy(np.asarray(params["value"]["w"])) + torch.from_numpy(np.asarray(params["value"]["b"]))
+        query = torch.from_numpy(dec_state) @ torch.from_numpy(np.asarray(params["query"]["w"])) + torch.from_numpy(np.asarray(params["query"]["b"]))
+        scores = torch.matmul(keys, query.unsqueeze(2)) / torch.sqrt(torch.tensor(float(K)))
+        w = torch.softmax(scores, dim=1).transpose(1, 2)
+        ref = torch.matmul(w, values).squeeze(1)
+        np.testing.assert_allclose(got, t2n(ref), rtol=1e-5, atol=1e-6)
+
+
+def _torch_decoder_logprob(params, arch, feats_np, y_onehot_np):
+    """Functional torch oracle of Seq2SeqEncoder+Decoder forward."""
+    dec = params["decoder"]
+
+    def lin(p, x):
+        return x @ torch.from_numpy(np.asarray(p["w"])) + torch.from_numpy(np.asarray(p["b"]))
+
+    out = torch.from_numpy(feats_np)
+    for idx in range(arch.num_encoder_layers):
+        g = params["encoder"][str(3 * idx)]
+        gru = torch.nn.GRU(out.shape[-1], arch.encoder_dim, batch_first=True, bidirectional=True)
+        sd = {}
+        for ours, sfx in (("fwd", ""), ("bwd", "_reverse")):
+            sd[f"weight_ih_l0{sfx}"] = torch.from_numpy(np.asarray(g[ours]["w_ih"]).T.copy())
+            sd[f"weight_hh_l0{sfx}"] = torch.from_numpy(np.asarray(g[ours]["w_hh"]).T.copy())
+            sd[f"bias_ih_l0{sfx}"] = torch.from_numpy(np.asarray(g[ours]["b_ih"]).copy())
+            sd[f"bias_hh_l0{sfx}"] = torch.from_numpy(np.asarray(g[ours]["b_hh"]).copy())
+        gru.load_state_dict(sd)
+        out, _ = gru(out)
+
+    B, U, L = y_onehot_np.shape
+    state = torch.from_numpy(np.asarray(dec["initial_state"])).unsqueeze(0).repeat(B, 1, 1)
+    y = torch.from_numpy(y_onehot_np)
+    y_prev = torch.zeros(B, L)
+    y_prev[:, arch.sos] = 1.0
+    log_p = torch.zeros(B)
+    K = np.asarray(dec["attention"]["key"]["w"]).shape[1]
+    for u in range(U):
+        keys = lin(dec["attention"]["key"], out)
+        values = lin(dec["attention"]["value"], out)
+        query = lin(dec["attention"]["query"], state[:, -1]).unsqueeze(2)
+        scores = torch.matmul(keys, query) / torch.sqrt(torch.tensor(float(K)))
+        ctx = torch.matmul(torch.softmax(scores, dim=1).transpose(1, 2), values).squeeze(1)
+        emb = lin(dec["embed"], y_prev)
+        h_in = torch.cat([emb, ctx], dim=1)
+        new_states = []
+        for li in range(arch.num_decoder_layers):
+            c = dec["rnn"][str(2 * li)]
+            cell = torch.nn.GRUCell(h_in.shape[-1], arch.decoder_dim)
+            cell.load_state_dict({
+                "weight_ih": torch.from_numpy(np.asarray(c["w_ih"]).T.copy()),
+                "weight_hh": torch.from_numpy(np.asarray(c["w_hh"]).T.copy()),
+                "bias_ih": torch.from_numpy(np.asarray(c["b_ih"]).copy()),
+                "bias_hh": torch.from_numpy(np.asarray(c["b_hh"]).copy()),
+            })
+            h = cell(h_in, state[:, li])
+            new_states.append(h)
+            h_in = h
+        state = torch.stack(new_states, dim=1)
+        logits = lin(dec["linear"], state[:, -1])
+        logp = torch.log_softmax(logits, dim=1)
+        log_p = log_p + (logp * y[:, u]).sum(dim=1)
+        y_prev = y[:, u]
+    return t2n(log_p)
+
+
+class TestSeq2SeqForward:
+    def test_log_prob_matches_torch(self, rng):
+        arch = Seq2SeqArch(
+            num_labels=5, num_encoder_layers=1, encoder_dim=6,
+            num_decoder_layers=2, decoder_dim=8, key_dim=6, value_dim=7, sos=0,
+        )
+        in_dim = 10
+        params = init_seq2seq_params(jax.random.PRNGKey(0), arch, in_dim)
+        B, T, U = 3, 9, 6
+        feats = rng.standard_normal((B, T, in_dim), dtype=np.float32)
+        ids = rng.integers(0, 5, (B, U))
+        y_onehot = np.eye(5, dtype=np.float32)[ids]
+
+        got = np.asarray(
+            slu_mod.seq2seq_log_prob(params, arch, jnp.asarray(feats), jnp.asarray(y_onehot))
+        )
+        ref = _torch_decoder_logprob(params, arch, feats, y_onehot)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def _numpy_beam_search(step_fn, state0, batch, V, U, B):
+    """Reference-semantics beam search in plain NumPy (oracle)."""
+    tokens = np.zeros((B, batch, U), np.int32)
+    scores = np.zeros((B, batch), np.float32)
+    states = [state0.copy() for _ in range(B)]
+    for u in range(U):
+        all_logp = []
+        new_states = []
+        for b in range(B):
+            if u == 0:
+                y_prev = np.zeros((batch, V), np.float32)
+            else:
+                y_prev = np.eye(V, dtype=np.float32)[tokens[b, :, u - 1]]
+            s, logp = step_fn(states[b], y_prev)
+            new_states.append(s)
+            all_logp.append(logp)
+        ext = np.stack([scores[b][:, None] + all_logp[b] for b in range(B)])  # (B,batch,V)
+        if u == 0:
+            ext[1:] = -np.inf
+        flat = ext.transpose(1, 0, 2).reshape(batch, B * V)
+        top_idx = np.argsort(-flat, axis=1, kind="stable")[:, :B]  # (batch, B)
+        top_scores = np.take_along_axis(flat, top_idx, axis=1)
+        origin = top_idx // V
+        tok = top_idx % V
+        tokens_new = np.zeros_like(tokens)
+        states_new = [np.zeros_like(state0) for _ in range(B)]
+        for nb in range(B):
+            for i in range(batch):
+                src = origin[i, nb]
+                tokens_new[nb, i] = tokens[src, i]
+                tokens_new[nb, i, u] = tok[i, nb]
+                states_new[nb][i] = new_states[src][i]
+                scores[nb, i] = top_scores[i, nb]
+        tokens = tokens_new
+        states = states_new
+    return scores, tokens
+
+
+class TestBeamSearch:
+    def _random_step(self, V, H, seed=0):
+        """A toy recurrent step: state (batch, H); logp depends on state+input."""
+        rng = np.random.default_rng(seed)
+        W1 = rng.standard_normal((V, H)).astype(np.float32) * 0.5
+        W2 = rng.standard_normal((H, H)).astype(np.float32) * 0.5
+        Wo = rng.standard_normal((H, V)).astype(np.float32)
+
+        def np_step(state, y_prev):
+            s = np.tanh(y_prev @ W1 + state @ W2)
+            logits = s @ Wo
+            logp = logits - np.log(np.exp(logits).sum(axis=1, keepdims=True))
+            return s, logp
+
+        def jax_step(state, y_prev):
+            s = jnp.tanh(y_prev @ W1 + state @ W2)
+            return s, jax.nn.log_softmax(s @ Wo, axis=1)
+
+        return np_step, jax_step
+
+    def test_matches_numpy_reference(self):
+        from tpu_slu.ops.beam import beam_search
+
+        V, H, batch, U, B = 6, 4, 3, 5, 4
+        np_step, jax_step = self._random_step(V, H)
+        state0 = np.zeros((batch, H), np.float32)
+
+        ref_scores, ref_tokens = _numpy_beam_search(np_step, state0, batch, V, U, B)
+        scores, tokens = jax.jit(
+            lambda s0: beam_search(jax_step, s0, batch, V, U, B)
+        )(jnp.asarray(state0))
+        np.testing.assert_allclose(np.asarray(scores), ref_scores, rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(tokens), ref_tokens)
+
+    def test_beam1_is_greedy(self):
+        from tpu_slu.ops.beam import beam_search
+
+        V, H, batch, U = 5, 4, 2, 6
+        np_step, jax_step = self._random_step(V, H, seed=3)
+        state0 = np.zeros((batch, H), np.float32)
+        scores, tokens = beam_search(jax_step, jnp.asarray(state0), batch, V, U, 1)
+
+        # greedy rollout
+        state = state0.copy()
+        y_prev = np.zeros((batch, V), np.float32)
+        greedy = []
+        for u in range(U):
+            state, logp = np_step(state, y_prev)
+            ids = logp.argmax(axis=1)
+            greedy.append(ids)
+            y_prev = np.eye(V, dtype=np.float32)[ids]
+        np.testing.assert_array_equal(np.asarray(tokens)[0], np.stack(greedy, axis=1))
+
+
+class TestSeq2SeqModel:
+    def test_forward_and_decode(self, config, rng):
+        model = Model(config)
+        assert model.seq2seq
+        model.seq2seq_arch = model.seq2seq_arch.__class__(
+            **{**model.seq2seq_arch.__dict__, "max_decode_len": 8}
+        )
+        model._build_jits()
+        x = rng.standard_normal((2, 8000), dtype=np.float32)
+        U, L = 5, len(config.Sy_intent)
+        ids = rng.integers(0, L, (2, U))
+        y = np.eye(L, dtype=np.float32)[ids]
+        loss, acc = model.forward(x, y)
+        assert np.isfinite(float(loss))
+
+        intents = model.decode_intents(x)
+        assert len(intents) == 2
+        assert all(isinstance(s, str) for s in intents)
+
+    def test_one_hot_to_string_strip_quirk(self, config):
+        model = Model(config)
+        S = config.Sy_intent  # ["<sos>", "a", "b", "c", "<eos>"]
+        ids = [0, 1, 2, 4, 4]  # <sos> a b <eos> <eos>
+        onehot = np.eye(len(S), dtype=np.float32)[ids]
+        assert model.one_hot_to_string(onehot, S) == "ab"

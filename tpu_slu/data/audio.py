@@ -15,6 +15,7 @@ this module implements RIFF/WAVE parsing directly:
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -26,8 +27,15 @@ def read_wav(path: str, dtype=np.float32, channel: int | None = 0):
     """Decode a WAV file -> (samples, sample_rate).
 
     samples: 1-D ``dtype`` array in [-1, 1) for the requested channel
-    (``channel=None`` returns (frames, channels)).
+    (``channel=None`` returns (frames, channels)). Uses the native C++
+    decoder when built (first channel only); NumPy otherwise.
     """
+    if channel == 0 and dtype == np.float32 and not os.environ.get("TPU_SLU_NO_NATIVE"):
+        from tpu_slu import native
+
+        result = native.read_wav_native(path)
+        if result is not None:
+            return result
     with open(path, "rb") as f:
         data = f.read()
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":

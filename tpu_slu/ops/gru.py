@@ -76,7 +76,10 @@ def _gate_update(gi, gh, h):
     return (1.0 - z) * n + z * h
 
 
-def _gru_scan(params: GRUDirParams, x, reverse: bool, unroll: int = 8):
+# unroll > 2 explodes HLO size and can push remote-TPU compile times from
+# seconds to minutes at long T; per-step work is tiny either way and the
+# Pallas kernel is the real fast path.
+def _gru_scan(params: GRUDirParams, x, reverse: bool, unroll: int = 2):
     """Unidirectional GRU over x (B, T, D) -> (B, T, H). h0 = 0 (torch default)."""
     B, T, _ = x.shape
     H = params["w_hh"].shape[0]
