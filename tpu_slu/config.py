@@ -220,6 +220,13 @@ def read_config(config_file: str, make_dirs: bool = True) -> Config:
         config.gradient_clip_norm = parser.getfloat("training", "gradient_clip_norm")
     except configparser.Error:
         config.gradient_clip_norm = 0.0
+    # Extension: jax.profiler trace directory for epoch-0 steps (off = None).
+    try:
+        config.profile_dir = parser.get("training", "profile_dir")
+        if config.profile_dir == "None":
+            config.profile_dir = None
+    except configparser.Error:
+        config.profile_dir = None
 
     # Total time-decimation factors between waveform samples and label frames
     # (reference data.py:121-128).

@@ -47,16 +47,55 @@ class Trainer:
         if self.is_pretraining:
             self.lr = config.pretraining_lr
             self.checkpoint_path = os.path.join(config.folder, "pretraining")
+            batch_size = config.pretraining_batch_size
         else:
             self.lr = config.training_lr
             self.checkpoint_path = os.path.join(config.folder, "training")
+            batch_size = config.training_batch_size
         os.makedirs(self.checkpoint_path, exist_ok=True)
         self.opt_state = adam_init(model.params)
         self.epoch = 0
         self._rows: list[dict] = []
         self._base_rng = jax.random.PRNGKey(config.seed)
         self._step_count = 0
+
+        # Data parallelism: with >1 device and a divisible batch, shard
+        # batches over the mesh's data axis and replicate params — GSPMD
+        # inserts the gradient all-reduce over ICI (SURVEY.md §5). The
+        # fixed batch dim from the loader means one compiled step per bucket
+        # regardless of device count.
+        self.mesh = None
+        n_dev = len(jax.devices())
+        if n_dev > 1 and getattr(config, "data_parallel", True):
+            if batch_size % n_dev == 0:
+                from tpu_slu.parallel.mesh import make_mesh
+
+                self.mesh = make_mesh(n_dev, model_parallel=1)
+                self._replicate_state()
+            else:
+                print(
+                    f"data parallelism disabled: batch size {batch_size} not "
+                    f"divisible by {n_dev} devices"
+                )
         self._build_steps()
+
+    def _replicate_state(self):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(self.mesh, PartitionSpec())
+        self.model.params = jax.device_put(
+            self.model.params, jax.tree.map(lambda _: rep, self.model.params)
+        )
+        self.opt_state = jax.device_put(
+            self.opt_state, jax.tree.map(lambda _: rep, self.opt_state)
+        )
+
+    def _place_batch(self, batch):
+        if self.mesh is None:
+            return batch
+        from tpu_slu.parallel.mesh import shard_batch
+
+        return shard_batch(batch, self.mesh)
 
     # -- jitted steps ---------------------------------------------------------
 
@@ -184,6 +223,8 @@ class Trainer:
                     self.model._unfrozen_count = int(state["unfrozen_count"])
             except Exception as e:
                 print(f"Could not load trainer state; optimizer starts fresh ({e})")
+        if self.mesh is not None:
+            self._replicate_state()
 
     def save_checkpoint(self):
         try:
@@ -218,28 +259,37 @@ class Trainer:
         return self._train_slu(dataset, print_interval)
 
     def _train_asr(self, dataset, print_interval):
+        from tpu_slu.utils.profiling import StepTimer, profile_trace
+
         totals = {"phone_loss": 0.0, "phone_acc": 0.0, "word_loss": 0.0, "word_acc": 0.0}
         num_examples = 0.0
         t0 = time.time()
-        for idx, batch in enumerate(dataset.loader):
-            bs = float(batch["w"].sum())
-            num_examples += bs
-            self.model.params, self.opt_state, aux = self._train_step(
-                self.model.params, self.opt_state, self._next_rng(), batch
-            )
-            pl_, wl, pa, wa = (float(a) for a in aux)
-            totals["phone_loss"] += pl_ * bs
-            totals["word_loss"] += wl * bs
-            totals["phone_acc"] += pa * bs
-            totals["word_acc"] += wa * bs
-            if idx % print_interval == 0:
-                print(f"phoneme loss: {pl_}")
-                print(f"word loss: {wl}")
-                print(f"phoneme acc: {pa}")
-                print(f"word acc: {wa}")
+        timer = StepTimer()
+        profile_dir = getattr(self.config, "profile_dir", None) if self.epoch == 0 else None
+        with profile_trace(profile_dir):
+            for idx, batch in enumerate(dataset.loader):
+                bs = float(batch["w"].sum())
+                batch = self._place_batch(batch)
+                num_examples += bs
+                with timer.step():
+                    self.model.params, self.opt_state, aux = self._train_step(
+                        self.model.params, self.opt_state, self._next_rng(), batch
+                    )
+                    aux = [float(a) for a in aux]
+                pl_, wl, pa, wa = aux
+                totals["phone_loss"] += pl_ * bs
+                totals["word_loss"] += wl * bs
+                totals["phone_acc"] += pa * bs
+                totals["word_acc"] += wa * bs
+                if idx % print_interval == 0:
+                    print(f"phoneme loss: {pl_}")
+                    print(f"word loss: {wl}")
+                    print(f"phoneme acc: {pa}")
+                    print(f"word acc: {wa}")
         results = {k: _weighted_mean(v, num_examples) for k, v in totals.items()}
         results["set"] = "train"
         results["examples_per_sec"] = num_examples / max(time.time() - t0, 1e-9)
+        results.update(timer.summary())
         self.log(results)
         self.epoch += 1
         return (
@@ -250,23 +300,32 @@ class Trainer:
         )
 
     def _train_slu(self, dataset, print_interval):
+        from tpu_slu.utils.profiling import StepTimer, profile_trace
+
         total_loss = 0.0
         total_acc = 0.0
         num_examples = 0.0
         t0 = time.time()
+        timer = StepTimer()
         self.model.print_frozen()
         mask = self.model.trainable_mask()
-        for idx, batch in enumerate(dataset.loader):
-            bs = float(batch["w"].sum())
-            num_examples += bs
-            self.model.params, self.opt_state, (loss, acc) = self._train_step(
-                self.model.params, self.opt_state, mask, self._next_rng(), batch
-            )
-            total_loss += float(loss) * bs
-            total_acc += float(acc) * bs
-            if idx % print_interval == 0:
-                print(f"intent loss: {float(loss)}")
-                print(f"intent acc: {float(acc)}")
+        profile_dir = getattr(self.config, "profile_dir", None) if self.epoch == 0 else None
+        with profile_trace(profile_dir):
+            for idx, batch in enumerate(dataset.loader):
+                bs = float(batch["w"].sum())
+                batch = self._place_batch(batch)
+                num_examples += bs
+                with timer.step():
+                    self.model.params, self.opt_state, (loss, acc) = self._train_step(
+                        self.model.params, self.opt_state, mask, self._next_rng(), batch
+                    )
+                    loss = float(loss)
+                    acc = float(acc)
+                total_loss += loss * bs
+                total_acc += acc * bs
+                if idx % print_interval == 0:
+                    print(f"intent loss: {loss}")
+                    print(f"intent acc: {acc}")
         self.model.unfreeze_one_layer()  # per-epoch ULMFiT trigger (training.py:115)
         results = {
             "intent_loss": _weighted_mean(total_loss, num_examples),
@@ -274,6 +333,7 @@ class Trainer:
             "set": "train",
             "examples_per_sec": num_examples / max(time.time() - t0, 1e-9),
         }
+        results.update(timer.summary())
         self.log(results)
         self.epoch += 1
         return results["intent_acc"], results["intent_loss"]
@@ -284,6 +344,7 @@ class Trainer:
             num_examples = 0.0
             for batch in dataset.loader:
                 bs = float(batch["w"].sum())
+                batch = self._place_batch(batch)
                 num_examples += bs
                 pl_, wl, pa, wa = (float(a) for a in self._eval_step(self.model.params, batch))
                 totals["phone_loss"] += pl_ * bs
@@ -306,7 +367,7 @@ class Trainer:
         for idx, batch in enumerate(dataset.loader):
             bs = float(batch["w"].sum())
             num_examples += bs
-            loss, acc = self._eval_step(self.model.params, batch)
+            loss, acc = self._eval_step(self.model.params, self._place_batch(batch))
             total_loss += float(loss) * bs
             total_acc += float(acc) * bs
             if self.model.seq2seq and self.epoch > 1:
