@@ -220,6 +220,12 @@ def read_config(config_file: str, make_dirs: bool = True) -> Config:
         config.gradient_clip_norm = parser.getfloat("training", "gradient_clip_norm")
     except configparser.Error:
         config.gradient_clip_norm = 0.0
+    # Extension: GRU implementation. "auto" (default) uses the fused Pallas
+    # kernels on TPU and lax.scan elsewhere; "scan"/"pallas" force one.
+    try:
+        config.gru_impl = parser.get("training", "gru_impl")
+    except configparser.Error:
+        config.gru_impl = "auto"
     # Extension: jax.profiler trace directory for epoch-0 steps (off = None).
     try:
         config.profile_dir = parser.get("training", "profile_dir")

@@ -351,10 +351,17 @@ class PretrainedModel:
         self.arch = EncoderArch.from_config(config)
         key = jax.random.PRNGKey(config.seed if seed is None else seed)
         self.params = params if params is not None else init_encoder_params(key, self.arch)
-        self._jit_features = jax.jit(lambda p, x: encoder_features(p, self.arch, x))
-        self._jit_posteriors = jax.jit(lambda p, x: encoder_posteriors(p, self.arch, x))
+        from tpu_slu.ops.gru import resolve_gru_impl
+
+        impl = resolve_gru_impl(config)
+        self._jit_features = jax.jit(
+            lambda p, x: encoder_features(p, self.arch, x, gru_impl=impl)
+        )
+        self._jit_posteriors = jax.jit(
+            lambda p, x: encoder_posteriors(p, self.arch, x, gru_impl=impl)
+        )
         self._jit_loss = jax.jit(
-            lambda p, x, yp, yw: encoder_loss(p, self.arch, x, yp, yw, train=False)
+            lambda p, x, yp, yw: encoder_loss(p, self.arch, x, yp, yw, train=False, gru_impl=impl)
         )
 
     def compute_features(self, x):

@@ -387,19 +387,22 @@ class Model:
     # -- jitted pure cores --------------------------------------------------
 
     def _build_jits(self):
+        from tpu_slu.ops.gru import resolve_gru_impl
+
         earch = self.encoder_arch
+        impl = resolve_gru_impl(self.config)
 
         if not self.seq2seq:
             iarch = self.intent_arch
 
             def fwd(params, x, y_intent):
-                feats = enc.encoder_features(params["pretrained_model"], earch, x)
-                logits = intent_logits(params["intent_layers"], iarch, feats)
+                feats = enc.encoder_features(params["pretrained_model"], earch, x, gru_impl=impl)
+                logits = intent_logits(params["intent_layers"], iarch, feats, gru_impl=impl)
                 return intent_loss_acc(logits, y_intent, iarch.values_per_slot)
 
             def predict(params, x):
-                feats = enc.encoder_features(params["pretrained_model"], earch, x)
-                logits = intent_logits(params["intent_layers"], iarch, feats)
+                feats = enc.encoder_features(params["pretrained_model"], earch, x, gru_impl=impl)
+                logits = intent_logits(params["intent_layers"], iarch, feats, gru_impl=impl)
                 return logits, intent_predictions(logits, iarch.values_per_slot)
 
             self._jit_forward = jax.jit(fwd)
@@ -408,13 +411,13 @@ class Model:
             sarch = self.seq2seq_arch
 
             def fwd(params, x, y_onehot):
-                feats = enc.encoder_features(params["pretrained_model"], earch, x)
-                log_p = seq2seq_log_prob(params, sarch, feats, y_onehot)
+                feats = enc.encoder_features(params["pretrained_model"], earch, x, gru_impl=impl)
+                log_p = seq2seq_log_prob(params, sarch, feats, y_onehot, gru_impl=impl)
                 return -log_p.mean(), jnp.zeros((), jnp.float32)
 
             def infer(params, x, beam_width):
-                feats = enc.encoder_features(params["pretrained_model"], earch, x)
-                return seq2seq_beam_infer(params, sarch, feats, beam_width)
+                feats = enc.encoder_features(params["pretrained_model"], earch, x, gru_impl=impl)
+                return seq2seq_beam_infer(params, sarch, feats, beam_width, gru_impl=impl)
 
             self._jit_forward = jax.jit(fwd)
             self._jit_infer = jax.jit(infer, static_argnums=2)

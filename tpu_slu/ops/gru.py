@@ -102,6 +102,16 @@ def _gru_scan(params: GRUDirParams, x, reverse: bool, unroll: int = 2):
     return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
 
 
+def resolve_gru_impl(config=None) -> str:
+    """Map a config's ``gru_impl`` ("auto"/"scan"/"pallas") to a concrete impl."""
+    choice = getattr(config, "gru_impl", "auto") if config is not None else "auto"
+    if choice == "auto":
+        from tpu_slu.ops.pallas_gru import gru_pallas_available
+
+        return "pallas" if gru_pallas_available() else "scan"
+    return choice
+
+
 def gru_apply(params: GRUParams, x, impl: str = "scan"):
     """GRU over a batch of sequences. x: (B, T, D) -> (B, T, H or 2H).
 

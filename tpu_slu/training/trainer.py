@@ -100,8 +100,11 @@ class Trainer:
     # -- jitted steps ---------------------------------------------------------
 
     def _build_steps(self):
+        from tpu_slu.ops.gru import resolve_gru_impl
+
         lr = self.lr
         clip = getattr(self.config, "gradient_clip_norm", 0.0)
+        gru_impl = resolve_gru_impl(self.config)
 
         def clip_grads(grads):
             if clip <= 0.0:
@@ -120,7 +123,7 @@ class Trainer:
                 def loss_fn(p):
                     pl_, wl, pa, wa = enc.encoder_loss(
                         p, arch, batch["x"], batch["y_phoneme"], batch["y_word"],
-                        train=True, rng=rng,
+                        train=True, rng=rng, gru_impl=gru_impl,
                     )
                     loss = {1: pl_, 2: pl_ + wl, 3: wl}[ptype]
                     return loss, (pl_, wl, pa, wa)
@@ -133,7 +136,8 @@ class Trainer:
 
             def eval_step(params, batch):
                 return enc.encoder_loss(
-                    params, arch, batch["x"], batch["y_phoneme"], batch["y_word"], train=False
+                    params, arch, batch["x"], batch["y_phoneme"], batch["y_word"],
+                    train=False, gru_impl=gru_impl,
                 )
 
             self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
@@ -149,10 +153,12 @@ class Trainer:
                 def loss_fn(p):
                     r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
                     feats = enc.encoder_features(
-                        p["pretrained_model"], earch, x, train=train, rng=r1
+                        p["pretrained_model"], earch, x, train=train, rng=r1,
+                        gru_impl=gru_impl,
                     )
                     logits = slu_mod.intent_logits(
-                        p["intent_layers"], iarch, feats, train=train, rng=r2
+                        p["intent_layers"], iarch, feats, train=train, rng=r2,
+                        gru_impl=gru_impl,
                     )
                     return slu_mod.intent_loss_acc(logits, y, iarch.values_per_slot, w)
 
@@ -165,9 +171,12 @@ class Trainer:
                 def loss_fn(p):
                     r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
                     feats = enc.encoder_features(
-                        p["pretrained_model"], earch, x, train=train, rng=r1
+                        p["pretrained_model"], earch, x, train=train, rng=r1,
+                        gru_impl=gru_impl,
                     )
-                    log_p = slu_mod.seq2seq_log_prob(p, sarch, feats, y, train=train, rng=r2)
+                    log_p = slu_mod.seq2seq_log_prob(
+                        p, sarch, feats, y, train=train, rng=r2, gru_impl=gru_impl
+                    )
                     denom = jnp.maximum(w.sum(), 1.0)
                     return -(log_p * w).sum() / denom, jnp.zeros((), jnp.float32)
 
