@@ -226,6 +226,12 @@ def read_config(config_file: str, make_dirs: bool = True) -> Config:
         config.gru_impl = parser.get("training", "gru_impl")
     except configparser.Error:
         config.gru_impl = "auto"
+    # Extension: checkpoint backend — "npz" (default, single portable file)
+    # or "orbax" (multi-host-safe directory checkpoints for pod runs).
+    try:
+        config.checkpoint_backend = parser.get("training", "checkpoint_backend")
+    except configparser.Error:
+        config.checkpoint_backend = "npz"
     # Extension: jax.profiler trace directory for epoch-0 steps (off = None).
     try:
         config.profile_dir = parser.get("training", "profile_dir")

@@ -196,7 +196,7 @@ def _augment_wave(x, rng):
     noise = rng.standard_normal(len(x)).astype(np.float32)
     s_db = 10 * np.log10(1e-12 + float(x @ x) / len(x))
     n_db = 10 * np.log10(1e-12 + float(noise @ noise) / len(noise))
-    return x + noise * 10.0 ** ((s_db - snr - n_db) / 20.0)
+    return (x + noise * 10.0 ** ((s_db - snr - n_db) / 20.0)).astype(np.float32)
 
 
 class CollateWavsSLU:

@@ -44,6 +44,8 @@ class BatchLoader:
         seed: int = 0,
         num_threads: int = 8,
         prefetch: int = 2,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -54,9 +56,26 @@ class BatchLoader:
         self.prefetch = prefetch
         self._epoch = 0
         self._lock = threading.Lock()
+        # Multi-host (pod slice): each host reads a disjoint 1/process_count
+        # shard of every epoch's example stream over DCN-free local storage.
+        # Defaults resolve lazily from jax so single-host tests never touch it.
+        self._pidx = process_index
+        self._pcount = process_count
+
+    def _process_shard(self):
+        if self._pidx is not None and self._pcount is not None:
+            return self._pidx, self._pcount
+        try:
+            import jax
+
+            return jax.process_index(), jax.process_count()
+        except Exception:  # pragma: no cover
+            return 0, 1
 
     def __len__(self):
-        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+        _, pcount = self._process_shard()
+        n = (len(self.dataset) + pcount - 1) // pcount
+        return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self):
         with self._lock:
@@ -65,9 +84,14 @@ class BatchLoader:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
+            # Same permutation on every host (seeded by epoch), then a
+            # disjoint strided shard per host.
             np.random.default_rng(self.seed + epoch).shuffle(order)
+        pidx, pcount = self._process_shard()
+        if pcount > 1:
+            order = order[pidx::pcount]
         batches = [
-            order[i : i + self.batch_size].tolist() for i in range(0, n, self.batch_size)
+            order[i : i + self.batch_size].tolist() for i in range(0, len(order), self.batch_size)
         ]
 
         def make_batch(idx_list):

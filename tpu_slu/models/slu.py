@@ -365,10 +365,15 @@ class Model:
 
             pre_dir = os.path.join(config.folder, "pretraining")
             npz = os.path.join(pre_dir, "model_state.npz")
+            orbax_dir = os.path.join(pre_dir, "model_state.orbax")
             pth = os.path.join(pre_dir, "model_state.pth")
             if os.path.isfile(npz):
                 self.params["pretrained_model"] = ckpt.load_pytree(
                     npz, self.params["pretrained_model"]
+                )
+            elif os.path.isdir(orbax_dir):
+                self.params["pretrained_model"] = ckpt.load_pytree_orbax(
+                    orbax_dir, self.params["pretrained_model"]
                 )
             elif os.path.isfile(pth):
                 from tpu_slu.models.torch_import import import_pretrained_state_dict
@@ -379,7 +384,8 @@ class Model:
             else:
                 raise FileNotFoundError(
                     f"pretraining_type={config.pretraining_type} but no checkpoint at "
-                    f"{npz} or {pth}; run --pretrain first or set pretraining_type=0"
+                    f"{npz}, {orbax_dir} or {pth}; run --pretrain first or set "
+                    "pretraining_type=0"
                 )
 
         self._build_jits()

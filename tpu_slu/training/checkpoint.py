@@ -69,6 +69,44 @@ def load_pytree(path: str, template):
     return rebuild(template)
 
 
+# ---------------------------------------------------------------------------
+# Orbax backend (optional): multi-host-safe, async-capable checkpointing for
+# pod-scale runs. Selected with config `checkpoint_backend=orbax`; the .npz
+# backend remains the default (single file, no deps, hermetic tests).
+# ---------------------------------------------------------------------------
+
+
+def save_pytree_orbax(path: str, tree) -> None:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), jax.tree.map(np.asarray, tree), force=True)
+    ckptr.wait_until_finished()
+
+
+def load_pytree_orbax(path: str, template):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(
+        os.path.abspath(path), jax.tree.map(np.asarray, template)
+    )
+    return jax.tree.map(jnp.asarray, restored)
+
+
+def save(path: str, tree, backend: str = "npz") -> None:
+    if backend == "orbax":
+        save_pytree_orbax(path, tree)
+    else:
+        save_pytree(path, tree)
+
+
+def load(path: str, template, backend: str = "npz"):
+    if backend == "orbax":
+        return load_pytree_orbax(path, template)
+    return load_pytree(path, template)
+
+
 def tree_equal(a, b) -> bool:
     leaves_a, treedef_a = jax.tree.flatten(a)
     leaves_b, treedef_b = jax.tree.flatten(b)

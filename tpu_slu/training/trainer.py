@@ -58,6 +58,10 @@ class Trainer:
         self._rows: list[dict] = []
         self._base_rng = jax.random.PRNGKey(config.seed)
         self._step_count = 0
+        self._ckpt_backend = getattr(config, "checkpoint_backend", "npz")
+        ext = "orbax" if self._ckpt_backend == "orbax" else "npz"
+        self._model_ckpt = os.path.join(self.checkpoint_path, f"model_state.{ext}")
+        self._trainer_ckpt = os.path.join(self.checkpoint_path, f"trainer_state.{ext}")
 
         # Data parallelism: with >1 device and a divisible batch, shard
         # batches over the mesh's data axis and replicate params — GSPMD
@@ -203,20 +207,22 @@ class Trainer:
     # -- checkpointing (reference training.py:23-39) --------------------------
 
     def load_checkpoint(self):
-        model_path = os.path.join(self.checkpoint_path, "model_state.npz")
-        if os.path.isfile(model_path):
+        model_path = self._model_ckpt
+        if os.path.exists(model_path):
             try:
-                self.model.params = ckpt.load_pytree(model_path, self.model.params)
+                self.model.params = ckpt.load(
+                    model_path, self.model.params, self._ckpt_backend
+                )
             except Exception as e:  # parity: fall back to scratch
                 print(f"Could not load previous model; starting from scratch ({e})")
                 return
         else:
             print("No previous model; starting from scratch")
             return
-        trainer_path = os.path.join(self.checkpoint_path, "trainer_state.npz")
-        if os.path.isfile(trainer_path):
+        trainer_path = self._trainer_ckpt
+        if os.path.exists(trainer_path):
             try:
-                state = ckpt.load_pytree(
+                state = ckpt.load(
                     trainer_path,
                     {
                         "opt": self.opt_state,
@@ -224,6 +230,7 @@ class Trainer:
                         "unfreezing_index": np.zeros((), np.int32),
                         "unfrozen_count": np.zeros((), np.int32),
                     },
+                    self._ckpt_backend,
                 )
                 self.opt_state = state["opt"]
                 self.epoch = int(state["epoch"])
@@ -237,11 +244,9 @@ class Trainer:
 
     def save_checkpoint(self):
         try:
-            ckpt.save_pytree(
-                os.path.join(self.checkpoint_path, "model_state.npz"), self.model.params
-            )
-            ckpt.save_pytree(
-                os.path.join(self.checkpoint_path, "trainer_state.npz"),
+            ckpt.save(self._model_ckpt, self.model.params, self._ckpt_backend)
+            ckpt.save(
+                self._trainer_ckpt,
                 {
                     "opt": self.opt_state,
                     "epoch": np.asarray(self.epoch, np.int32),
@@ -252,6 +257,7 @@ class Trainer:
                         getattr(self.model, "_unfrozen_count", 0), np.int32
                     ),
                 },
+                self._ckpt_backend,
             )
         except Exception as e:
             print(f"Could not save model ({e})")
