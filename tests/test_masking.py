@@ -1,0 +1,102 @@
+"""Padding-mask correctness: frame counts, intent pool, attention."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests import fixtures
+from tpu_slu import read_config
+from tpu_slu.models import encoder as enc
+from tpu_slu.models import slu as slu_mod
+from tpu_slu.models.encoder import EncoderArch, init_encoder_params
+from tpu_slu.ops.attention import attend, attention_init
+
+
+@pytest.fixture
+def config(tmp_path):
+    path = fixtures.write_cfg(str(tmp_path / "c.cfg"), folder=str(tmp_path / "exp"))
+    config = read_config(path)
+    config.num_phonemes = 5
+    config.values_per_slot = [2, 2, 2]
+    config.Sy_intent = {"action": {"a": 0, "b": 1}, "object": {"a": 0, "b": 1},
+                        "location": {"a": 0, "b": 1}}
+    return config
+
+
+def test_num_frames_matches_actual_output(config, rng):
+    arch = EncoderArch.from_config(config)
+    params = init_encoder_params(jax.random.PRNGKey(0), arch)
+    for t in (8000, 8001, 12345, 16000):
+        x = jnp.asarray(rng.standard_normal((1, t), dtype=np.float32))
+        feats = enc.encoder_features(params, arch, x)
+        assert int(arch.num_frames(t)) == feats.shape[1], t
+        ph = enc.encoder_phoneme_features(params, arch, x)
+        assert int(arch.num_frames(t, upto="phoneme")) == ph.shape[1], t
+
+
+def test_frame_mask_excludes_padding_from_pool(config, rng):
+    model = slu_mod.Model(config)
+    iarch = model.intent_arch
+    B, T = 2, 10
+    feats = rng.standard_normal((B, T, model.encoder_arch.word_feat_dim), dtype=np.float32)
+    # without a mask, a huge activation in the padded tail dominates the max
+    feats[0, 7:] = 50.0
+    mask = np.zeros((B, T), bool)
+    mask[0, :7] = True
+    mask[1, :] = True
+    logits_masked = slu_mod.intent_logits(
+        model.params["intent_layers"], iarch, jnp.asarray(feats),
+        frame_mask=jnp.asarray(mask),
+    )
+    feats_clean = feats.copy()
+    feats_clean[0, 7:] = feats_clean[0, 6]  # innocuous tail
+    logits_clean_nomask = slu_mod.intent_logits(
+        model.params["intent_layers"], iarch, jnp.asarray(feats_clean)
+    )
+    logits_dirty_nomask = slu_mod.intent_logits(
+        model.params["intent_layers"], iarch, jnp.asarray(feats)
+    )
+    # the dirty tail corrupts the unmasked pool but not the masked one
+    assert not np.allclose(np.asarray(logits_dirty_nomask)[0], np.asarray(logits_masked)[0])
+    assert np.isfinite(np.asarray(logits_masked)).all()
+
+
+def test_masked_training_invariant_to_bucket_padding(config, rng):
+    """Same utterance padded into two different buckets -> same masked loss."""
+    model = slu_mod.Model(config)
+    earch, iarch = model.encoder_arch, model.intent_arch
+    t_real = 7500
+    wav = rng.standard_normal(t_real, dtype=np.float32)
+    y = jnp.asarray(np.array([[1, 0, 1]], np.int32))
+
+    losses = []
+    for t_pad in (8000, 16000):
+        x = np.zeros((1, t_pad), np.float32)
+        x[0, :t_real] = wav
+        lengths = jnp.asarray(np.array([t_real], np.int32))
+        feats = enc.encoder_features(model.params["pretrained_model"], earch, jnp.asarray(x))
+        t_out = enc.frames_through(iarch.layers, feats.shape[1])
+        fm = slu_mod.frame_mask_from_lengths(earch, lengths, t_out, iarch)
+        logits = slu_mod.intent_logits(
+            model.params["intent_layers"], iarch, feats, frame_mask=fm
+        )
+        loss, _ = slu_mod.intent_loss_acc(logits, y, iarch.values_per_slot)
+        losses.append(float(loss))
+    # GRUs still see padded zeros, so parity is approximate but tight;
+    # without masking the FinalPool difference is typically large.
+    np.testing.assert_allclose(losses[0], losses[1], rtol=0.02)
+
+
+def test_attention_mask(rng):
+    params = attention_init(jax.random.PRNGKey(0), 6, 4, 4, 5)
+    enc_states = rng.standard_normal((1, 8, 6), dtype=np.float32)
+    dec_state = rng.standard_normal((1, 4), dtype=np.float32)
+    mask = np.zeros((1, 8), bool)
+    mask[0, :5] = True
+    ctx_masked = attend(params, jnp.asarray(enc_states), jnp.asarray(dec_state),
+                        mask=jnp.asarray(mask))
+    # context must equal attention over only the first 5 frames
+    ctx_trunc = attend(params, jnp.asarray(enc_states[:, :5]), jnp.asarray(dec_state))
+    np.testing.assert_allclose(np.asarray(ctx_masked), np.asarray(ctx_trunc), rtol=1e-5, atol=1e-6)

@@ -226,6 +226,12 @@ def read_config(config_file: str, make_dirs: bool = True) -> Config:
         config.gru_impl = parser.get("training", "gru_impl")
     except configparser.Error:
         config.gru_impl = "auto"
+    # Extension: mask bucket padding out of the intent time-pool and seq2seq
+    # attention (True default; False reproduces the reference's padding leak).
+    try:
+        config.mask_padding = parser.get("training", "mask_padding") != "False"
+    except configparser.Error:
+        config.mask_padding = True
     # Extension: checkpoint backend — "npz" (default, single portable file)
     # or "orbax" (multi-host-safe directory checkpoints for pod runs).
     try:

@@ -212,19 +212,19 @@ class CollateWavsSLU:
 
     def __call__(self, items):
         waves = [x for x, _ in items]
-        x, w = pad_wave_batch(waves, self.batch_size, WAVE_BUCKET_QUANT)
+        x, w, lengths = pad_wave_batch(waves, self.batch_size, WAVE_BUCKET_QUANT)
         if not self.seq2seq:
             y = np.zeros((self.batch_size, len(SLOTS)), np.int32)
             for i, (_, y_) in enumerate(items):
                 y[i] = y_
-            return {"x": x, "y_intent": y, "w": w}
+            return {"x": x, "y_intent": y, "w": w, "len": lengths}
         u_max = pad_to_bucket(max(len(y_) for _, y_ in items), LABEL_BUCKET_QUANT)
         ids = np.full((self.batch_size, u_max), self.eos, np.int64)
         for i, (_, y_) in enumerate(items):
             ids[i, : len(y_)] = y_
         onehot = np.zeros((self.batch_size, u_max, self.num_labels), np.float32)
         np.put_along_axis(onehot, ids[:, :, None], 1.0, axis=2)
-        return {"x": x, "y_intent": onehot, "w": w}
+        return {"x": x, "y_intent": onehot, "w": w, "len": lengths}
 
 
 # ---------------------------------------------------------------------------
@@ -358,7 +358,7 @@ class CollateWavsASR:
 
     def __call__(self, items):
         waves = [x for x, _, _ in items]
-        x, w = pad_wave_batch(waves, self.batch_size, WAVE_BUCKET_QUANT)
+        x, w, lengths = pad_wave_batch(waves, self.batch_size, WAVE_BUCKET_QUANT)
         t_pad = x.shape[1]
         n_phone = -(-t_pad // self.phone_ds)  # ceil: matches encoder frame count
         n_word = -(-t_pad // self.word_ds)
@@ -367,4 +367,4 @@ class CollateWavsASR:
         for i, (_, yp, yw) in enumerate(items):
             y_phoneme[i, : len(yp)] = yp[:n_phone]
             y_word[i, : len(yw)] = yw[:n_word]
-        return {"x": x, "y_phoneme": y_phoneme, "y_word": y_word, "w": w}
+        return {"x": x, "y_phoneme": y_phoneme, "y_word": y_word, "w": w, "len": lengths}

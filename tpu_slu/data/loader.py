@@ -116,13 +116,16 @@ class BatchLoader:
 def pad_wave_batch(waves, batch_size: int, quant: int):
     """Zero-pad variable-length waveforms into a (batch_size, T_bucket) array.
 
-    Returns (x, weights): weights are 1.0 for real rows, 0.0 for batch padding.
+    Returns (x, weights, lengths): weights are 1.0 for real rows, 0.0 for
+    batch padding; lengths are true sample counts (0 for padding rows).
     """
     t_max = max(len(w) for w in waves)
     t_pad = pad_to_bucket(t_max, quant)
     x = np.zeros((batch_size, t_pad), np.float32)
     w = np.zeros((batch_size,), np.float32)
+    lengths = np.zeros((batch_size,), np.int32)
     for i, wav in enumerate(waves):
         x[i, : len(wav)] = wav
         w[i] = 1.0
-    return x, w
+        lengths[i] = len(wav)
+    return x, w, lengths

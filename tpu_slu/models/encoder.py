@@ -148,6 +148,36 @@ class EncoderArch:
                 if s.kind in ("sinc", "conv", "gru"):
                     yield group, s
 
+    def num_frames(self, t, upto: str = "word"):
+        """Exact output frame count for a waveform of ``t`` samples.
+
+        Walks the layer chain's length arithmetic (conv floor, ceil-mode
+        pools, ceil downsamples). ``t`` may be a traced integer array, so
+        ceil-divisions use arithmetic, not Python math.
+        """
+        specs = self.phoneme_layers if upto == "phoneme" else (
+            self.phoneme_layers + self.word_layers
+        )
+        return frames_through(specs, t)
+
+
+def frames_through(specs, t):
+    """Length arithmetic for a LayerSpec chain (traced-friendly)."""
+    for spec in specs:
+        if spec.kind in ("sinc", "conv"):
+            if spec.kind == "sinc":
+                _, k, _, stride, pad = spec.h
+            else:
+                _, _, k, stride, pad = spec.h
+            t = (t + 2 * pad - k) // stride + 1
+        elif spec.kind == "pool":
+            t = -(-t // spec.h[0])
+        elif spec.kind == "downsample":
+            method, factor = spec.h
+            if factor > 1:
+                t = -(-t // factor)
+    return t
+
 
 # ---------------------------------------------------------------------------
 # Parameter init

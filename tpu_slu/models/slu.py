@@ -80,12 +80,35 @@ def init_intent_params(key, arch: IntentArch) -> dict:
     return params
 
 
-def intent_logits(params, arch: IntentArch, feats, *, train=False, rng=None, gru_impl="scan"):
-    """feats: (B, T, C) encoder features -> (B, sum(values_per_slot)) logits."""
+def intent_logits(params, arch: IntentArch, feats, *, train=False, rng=None, gru_impl="scan",
+                  frame_mask=None):
+    """feats: (B, T, C) encoder features -> (B, sum(values_per_slot)) logits.
+
+    ``frame_mask`` (B, T_out) marks frames that come from real audio; padded
+    frames are excluded from the max-over-time pool. (The reference lets
+    batch padding leak into its FinalPool, models.py:116-123 — with bucket
+    padding that leak would be larger, so masking is on by default and
+    disabled via config ``mask_padding=False`` for strict emulation.)
+    """
     out, _ = enc._apply_stack(params, arch.layers, feats, train=train, rng=rng, gru_impl=gru_impl)
     lin = params[str(arch.linear_index)]
     out = out @ lin["w"] + lin["b"]
+    if frame_mask is not None:
+        out = jnp.where(frame_mask[:, :, None], out, -jnp.inf)
     return jnp.max(out, axis=1)  # FinalPool: max over time (models.py:116-123)
+
+
+def frame_mask_from_lengths(encoder_arch, lengths, t_frames, intent_arch=None):
+    """(B,) waveform sample counts -> (B, t_frames) bool valid-frame mask.
+
+    Uses the exact layer-chain length arithmetic; clamps to >= 1 valid frame
+    so all-padding rows (batch fill, weight 0) stay finite through the pool.
+    """
+    n = encoder_arch.num_frames(jnp.maximum(lengths, 1))
+    if intent_arch is not None:
+        n = enc.frames_through(intent_arch.layers, n)
+    n = jnp.clip(n, 1, t_frames)
+    return jnp.arange(t_frames)[None, :] < n[:, None]
 
 
 def intent_loss_acc(logits, y_intent, values_per_slot, weights=None):
@@ -197,13 +220,15 @@ def seq2seq_encode(params, arch: Seq2SeqArch, feats, *, train=False, rng=None, g
     return out
 
 
-def _decoder_step(dec_params, arch: Seq2SeqArch, enc_out, state, y_prev, *, train=False, rng=None):
+def _decoder_step(dec_params, arch: Seq2SeqArch, enc_out, state, y_prev, *, train=False, rng=None,
+                  enc_mask=None):
     """One decode step: attend -> embed -> stacked GRUCells -> log-softmax.
 
     state: (B, num_layers, H); y_prev: (B, num_labels) one-hot (or zeros).
+    ``enc_mask`` (B, T) excludes padded encoder frames from attention.
     Returns (new_state, logp (B, num_labels)).
     """
-    context = attend(dec_params["attention"], enc_out, state[:, -1])
+    context = attend(dec_params["attention"], enc_out, state[:, -1], mask=enc_mask)
     emb = y_prev @ dec_params["embed"]["w"] + dec_params["embed"]["b"]
     h_in = jnp.concatenate([emb, context], axis=1)
     new_states = []
@@ -221,7 +246,7 @@ def _decoder_step(dec_params, arch: Seq2SeqArch, enc_out, state, y_prev, *, trai
 
 
 def seq2seq_log_prob(params, arch: Seq2SeqArch, feats, y_onehot, *, train=False, rng=None,
-                     gru_impl="scan"):
+                     gru_impl="scan", enc_mask=None):
     """Teacher-forced log p(y|x) per example (models.py:515-556).
 
     y_onehot: (B, U, num_labels), EOS-padded one-hot targets.
@@ -239,7 +264,9 @@ def seq2seq_log_prob(params, arch: Seq2SeqArch, feats, y_onehot, *, train=False,
         state, y_prev, acc = carry
         y_u, u = inp
         step_rng = jax.random.fold_in(base_rng, u) if train else None
-        state, logp = _decoder_step(dec, arch, enc_out, state, y_prev, train=train, rng=step_rng)
+        state, logp = _decoder_step(
+            dec, arch, enc_out, state, y_prev, train=train, rng=step_rng, enc_mask=enc_mask
+        )
         acc = acc + (logp * y_u).sum(axis=1)
         return (state, y_u, acc), None
 
@@ -249,7 +276,8 @@ def seq2seq_log_prob(params, arch: Seq2SeqArch, feats, y_onehot, *, train=False,
     return log_p
 
 
-def seq2seq_beam_infer(params, arch: Seq2SeqArch, feats, beam_width: int = 4, *, gru_impl="scan"):
+def seq2seq_beam_infer(params, arch: Seq2SeqArch, feats, beam_width: int = 4, *, gru_impl="scan",
+                       enc_mask=None):
     """Beam-search decode. Returns (scores (beam, B), tokens (beam, B, U))."""
     enc_out = seq2seq_encode(params["encoder"], arch, feats, train=False, gru_impl=gru_impl)
     dec = params["decoder"]
@@ -257,7 +285,7 @@ def seq2seq_beam_infer(params, arch: Seq2SeqArch, feats, beam_width: int = 4, *,
     state0 = jnp.broadcast_to(dec["initial_state"][None], (B,) + dec["initial_state"].shape)
 
     def step_fn(state, y_prev):
-        return _decoder_step(dec, arch, enc_out, state, y_prev, train=False)
+        return _decoder_step(dec, arch, enc_out, state, y_prev, train=False, enc_mask=enc_mask)
 
     return beam_search(
         step_fn, state0, B, arch.num_labels, arch.max_decode_len, beam_width

@@ -22,12 +22,17 @@ def attention_init(key, encoder_dim: int, decoder_dim: int, key_dim: int, value_
     }
 
 
-def attend(params, encoder_states, decoder_state):
-    """encoder_states: (B, T, E); decoder_state: (B, D) -> context (B, V)."""
+def attend(params, encoder_states, decoder_state, mask=None):
+    """encoder_states: (B, T, E); decoder_state: (B, D) -> context (B, V).
+
+    ``mask`` (B, T) True for valid frames; padded frames get -inf scores.
+    """
     keys = encoder_states @ params["key"]["w"] + params["key"]["b"]  # (B, T, K)
     values = encoder_states @ params["value"]["w"] + params["value"]["b"]  # (B, T, V)
     query = decoder_state @ params["query"]["w"] + params["query"]["b"]  # (B, K)
     key_dim = keys.shape[-1]
     scores = jnp.einsum("btk,bk->bt", keys, query) / jnp.sqrt(jnp.float32(key_dim))
+    if mask is not None:
+        scores = jnp.where(mask, scores, -jnp.inf)
     weights = jax.nn.softmax(scores, axis=1)
     return jnp.einsum("bt,btv->bv", weights, values)

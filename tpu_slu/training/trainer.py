@@ -109,6 +109,7 @@ class Trainer:
         lr = self.lr
         clip = getattr(self.config, "gradient_clip_norm", 0.0)
         gru_impl = resolve_gru_impl(self.config)
+        mask_padding = getattr(self.config, "mask_padding", True)
 
         def clip_grads(grads):
             if clip <= 0.0:
@@ -153,16 +154,20 @@ class Trainer:
         if not model.seq2seq:
             iarch = model.intent_arch
 
-            def loss_fn_builder(x, y, w, train, rng):
+            def loss_fn_builder(x, y, w, lengths, train, rng):
                 def loss_fn(p):
                     r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
                     feats = enc.encoder_features(
                         p["pretrained_model"], earch, x, train=train, rng=r1,
                         gru_impl=gru_impl,
                     )
+                    fm = None
+                    if mask_padding and lengths is not None:
+                        t_out = enc.frames_through(iarch.layers, feats.shape[1])
+                        fm = slu_mod.frame_mask_from_lengths(earch, lengths, t_out, iarch)
                     logits = slu_mod.intent_logits(
                         p["intent_layers"], iarch, feats, train=train, rng=r2,
-                        gru_impl=gru_impl,
+                        gru_impl=gru_impl, frame_mask=fm,
                     )
                     return slu_mod.intent_loss_acc(logits, y, iarch.values_per_slot, w)
 
@@ -171,15 +176,21 @@ class Trainer:
         else:
             sarch = model.seq2seq_arch
 
-            def loss_fn_builder(x, y, w, train, rng):
+            def loss_fn_builder(x, y, w, lengths, train, rng):
                 def loss_fn(p):
                     r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
                     feats = enc.encoder_features(
                         p["pretrained_model"], earch, x, train=train, rng=r1,
                         gru_impl=gru_impl,
                     )
+                    enc_mask = None
+                    if mask_padding and lengths is not None:
+                        enc_mask = slu_mod.frame_mask_from_lengths(
+                            earch, lengths, feats.shape[1]
+                        )
                     log_p = slu_mod.seq2seq_log_prob(
-                        p, sarch, feats, y, train=train, rng=r2, gru_impl=gru_impl
+                        p, sarch, feats, y, train=train, rng=r2, gru_impl=gru_impl,
+                        enc_mask=enc_mask,
                     )
                     denom = jnp.maximum(w.sum(), 1.0)
                     return -(log_p * w).sum() / denom, jnp.zeros((), jnp.float32)
@@ -187,14 +198,18 @@ class Trainer:
                 return loss_fn
 
         def full_train_step(params, opt_state, mask, rng, batch):
-            loss_fn = loss_fn_builder(batch["x"], batch["y_intent"], batch["w"], True, rng)
+            loss_fn = loss_fn_builder(
+                batch["x"], batch["y_intent"], batch["w"], batch.get("len"), True, rng
+            )
             (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             grads = clip_grads(grads)
             params, opt_state = adam_update(params, grads, opt_state, mask, lr)
             return params, opt_state, (loss, acc)
 
         def eval_step(params, batch):
-            loss_fn = loss_fn_builder(batch["x"], batch["y_intent"], batch["w"], False, None)
+            loss_fn = loss_fn_builder(
+                batch["x"], batch["y_intent"], batch["w"], batch.get("len"), False, None
+            )
             return loss_fn(params)
 
         self._train_step = jax.jit(full_train_step, donate_argnums=(0, 1))
