@@ -28,6 +28,11 @@ def main():
         "--restart", action="store_true", help="load checkpoint from a previous run"
     )
     parser.add_argument(
+        "--decode", action="store_true",
+        help="decode intents for --wav using the trained SLU checkpoint",
+    )
+    parser.add_argument("--wav", type=str, help="wav file for --decode")
+    parser.add_argument(
         "--config_path", type=str, required=True,
         help="path to config file with hyperparameters, etc.",
     )
@@ -74,6 +79,36 @@ def main():
         test_ia, test_il = trainer.test(test_dataset, log_set="test")
         print("========= Test results =========")
         print(f"*intents*| test accuracy: {test_ia:.2f}| test loss: {test_il:.2f}\n")
+
+    if args.decode:
+        # Dataset-free inference: vocab.json (written at training time)
+        # replaces the reference's get_SLU_datasets side-effect requirement;
+        # falls back to the dataset when only legacy artifacts exist.
+        import json
+        import os
+
+        from tpu_slu.data.audio import read_wav
+
+        if not args.wav:
+            parser.error("--decode requires --wav")
+        vocab_path = os.path.join(config.folder, "training", "vocab.json")
+        if os.path.isfile(vocab_path):
+            with open(vocab_path) as f:
+                Model.attach_vocab(config, json.load(f))
+        else:
+            get_SLU_datasets(config)
+        model = Model(config, load_pretrained=False)
+        npz = os.path.join(config.folder, "training", "model_state.npz")
+        pth = os.path.join(config.folder, "training", "model_state.pth")
+        if os.path.isfile(npz):
+            model.load_native_checkpoint(npz)
+        elif os.path.isfile(pth):
+            model.load_torch_state_dict(pth)
+        else:
+            raise FileNotFoundError(f"no trained SLU checkpoint at {npz} or {pth}")
+        signal, fs = read_wav(args.wav)
+        intents = model.decode_intents(signal[None, :])
+        print(intents[0])
 
 
 if __name__ == "__main__":

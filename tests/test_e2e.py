@@ -162,6 +162,27 @@ class TestPretrainTransfer:
 
 
 class TestCLI:
+    def test_decode_cli(self, tmp_path, slu_root):
+        """Train 1 epoch via API, then `main.py --decode --wav=...` decodes
+        without touching the dataset (vocab.json path)."""
+        config = _slu_config(tmp_path, slu_root)
+        train, _, _ = get_SLU_datasets(config)
+        model = Model(config)
+        trainer = Trainer(model, config)
+        trainer.train(train)
+        trainer.save_checkpoint()
+        assert os.path.isfile(os.path.join(config.folder, "training", "vocab.json"))
+
+        wav = os.path.join(slu_root, train.df.loc[0].path)
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "main.py"), "--decode",
+             f"--config_path={tmp_path / 'exp.cfg'}", f"--wav={wav}"],
+            capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "activate" in proc.stdout or "deactivate" in proc.stdout
+
     def test_main_train_smoke(self, tmp_path, slu_root):
         folder = str(tmp_path / "exp")
         cfg = fixtures.write_cfg(

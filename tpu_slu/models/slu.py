@@ -358,7 +358,7 @@ def encoder_trainable_mask(params_encoder, arch: EncoderArch, frozen: bool,
 class Model:
     """End-to-end SLU model facade (reference ``Model``, models.py:653-875)."""
 
-    def __init__(self, config, seed: int | None = None):
+    def __init__(self, config, seed: int | None = None, load_pretrained: bool = True):
         self.config = config
         self.Sy_intent = config.require("Sy_intent")
         self.seq2seq = config.seq2seq
@@ -388,7 +388,9 @@ class Model:
 
         # Load the pre-trained encoder (reference models.py:661-667): native
         # .npz checkpoint preferred, PyTorch .pth supported.
-        if config.pretraining_type != 0:
+        # ``load_pretrained=False`` skips it (e.g. when a full SLU checkpoint
+        # will be restored on top anyway).
+        if config.pretraining_type != 0 and load_pretrained:
             from tpu_slu.training import checkpoint as ckpt
 
             pre_dir = os.path.join(config.folder, "pretraining")
@@ -552,6 +554,30 @@ class Model:
             intent_arch=None if self.seq2seq else self.intent_arch,
             seq2seq_arch=self.seq2seq_arch if self.seq2seq else None,
         )
+        return self
+
+    def vocab_dict(self) -> dict:
+        """JSON-serializable inference vocab (enables dataset-free decode)."""
+        return {
+            "seq2seq": self.seq2seq,
+            "Sy_intent": self.Sy_intent,
+            "values_per_slot": None if self.seq2seq else list(self.values_per_slot),
+            "num_phonemes": self.encoder_arch.num_phonemes,
+        }
+
+    @staticmethod
+    def attach_vocab(config, vocab: dict):
+        """Apply a saved vocab dict to a config (instead of get_SLU_datasets)."""
+        config.Sy_intent = vocab["Sy_intent"]
+        config.num_phonemes = vocab["num_phonemes"]
+        if not vocab["seq2seq"]:
+            config.values_per_slot = vocab["values_per_slot"]
+        return config
+
+    def load_native_checkpoint(self, path):
+        from tpu_slu.training import checkpoint as ckpt
+
+        self.params = ckpt.load_pytree(path, self.params)
         return self
 
     def eval(self):  # reference API no-ops under the functional design

@@ -260,6 +260,11 @@ class Trainer:
     def save_checkpoint(self):
         try:
             ckpt.save(self._model_ckpt, self.model.params, self._ckpt_backend)
+            if not self.is_pretraining:
+                import json
+
+                with open(os.path.join(self.checkpoint_path, "vocab.json"), "w") as f:
+                    json.dump(self.model.vocab_dict(), f)
             ckpt.save(
                 self._trainer_ckpt,
                 {
