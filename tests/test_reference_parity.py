@@ -90,25 +90,10 @@ class TestAgainstReferenceImplementation:
     def test_full_model_predictions_parity(self, ref_models, config, rng):
         """Our Model and the reference Model agree on intent predictions and
         logits when loaded from the same state_dict."""
+        from tpu_slu.models.torch_import import export_model_state_dict
+
         ours = slu_mod.Model(config)
-        # Export our params as a full-model state_dict for the reference
-        state = export_pretrained_state_dict(
-            ours.params["pretrained_model"], ours.encoder_arch, prefix="pretrained_model."
-        )
-        gru_p = ours.params["intent_layers"]["0"]
-        for key, sfx in (("fwd", ""), ("bwd", "_reverse")):
-            state[f"intent_layers.0.weight_ih_l0{sfx}"] = torch.from_numpy(
-                np.asarray(gru_p[key]["w_ih"]).T.copy())
-            state[f"intent_layers.0.weight_hh_l0{sfx}"] = torch.from_numpy(
-                np.asarray(gru_p[key]["w_hh"]).T.copy())
-            state[f"intent_layers.0.bias_ih_l0{sfx}"] = torch.from_numpy(
-                np.asarray(gru_p[key]["b_ih"]).copy())
-            state[f"intent_layers.0.bias_hh_l0{sfx}"] = torch.from_numpy(
-                np.asarray(gru_p[key]["b_hh"]).copy())
-        li = ours.intent_arch.linear_index
-        lin = ours.params["intent_layers"][str(li)]
-        state[f"intent_layers.{li}.weight"] = torch.from_numpy(np.asarray(lin["w"]).T.copy())
-        state[f"intent_layers.{li}.bias"] = torch.from_numpy(np.asarray(lin["b"]).copy())
+        state = export_model_state_dict(ours.params, ours.encoder_arch, ours.intent_arch)
 
         ref_model = ref_models.Model(config)
         ref_model.load_state_dict(state)
@@ -127,6 +112,32 @@ class TestAgainstReferenceImplementation:
         ref_intents = ref_model.decode_intents(torch.from_numpy(x))
         got_intents = ours.decode_intents(x)
         assert [list(i) for i in ref_intents] == [list(i) for i in got_intents]
+
+    def test_seq2seq_forward_parity(self, ref_models, tmp_path, rng):
+        """Seq2seq Model: teacher-forced loss matches the reference decoder."""
+        from tpu_slu.models.torch_import import export_model_state_dict
+
+        path = fixtures.write_cfg(str(tmp_path / "s.cfg"), folder=str(tmp_path / "exp"),
+                                  seq2seq=True)
+        config = read_config(path)
+        config.num_phonemes = 5
+        config.Sy_intent = ["<sos>", "a", "b", "c", "<eos>"]
+        ours = slu_mod.Model(config)
+        state = export_model_state_dict(
+            ours.params, ours.encoder_arch, seq2seq_arch=ours.seq2seq_arch
+        )
+        ref_model = ref_models.Model(config)
+        ref_model.load_state_dict(state)
+        ref_model.eval()
+
+        B, T, U, L = 2, 9000, 6, len(config.Sy_intent)
+        x = rng.standard_normal((B, T), dtype=np.float32)
+        ids = rng.integers(0, L, (B, U))
+        y = np.eye(L, dtype=np.float32)[ids]
+        with torch.no_grad():
+            ref_loss, _ = ref_model(torch.from_numpy(x), torch.from_numpy(y))
+        got_loss, _ = ours.forward(x, y)
+        np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-4, atol=1e-5)
 
     def test_torch_saved_checkpoint_roundtrip(self, ref_models, config, tmp_path, rng):
         """torch.save a reference model's state_dict -> our importer loads it

@@ -226,6 +226,12 @@ def read_config(config_file: str, make_dirs: bool = True) -> Config:
         config.gru_impl = parser.get("training", "gru_impl")
     except configparser.Error:
         config.gru_impl = "auto"
+    # Extension: PRNG implementation for dropout keys ("rbg" default: fast
+    # XLA RngBitGenerator; "threefry" for jax-default reproducibility).
+    try:
+        config.prng_impl = parser.get("training", "prng_impl")
+    except configparser.Error:
+        config.prng_impl = "rbg"
     # Extension: mask bucket padding out of the intent time-pool and seq2seq
     # attention (True default; False reproduces the reference's padding leak).
     try:

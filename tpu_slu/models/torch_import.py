@@ -156,6 +156,44 @@ def _linear_to_torch(out: dict, prefix: str, p: dict):
     out[f"{prefix}.bias"] = torch.from_numpy(np.asarray(p["b"]).copy())
 
 
+def export_model_state_dict(params, encoder_arch, intent_arch=None, seq2seq_arch=None) -> dict:
+    """Full SLU Model params -> a reference-loadable ``state_dict``.
+
+    Enables the reverse deployment path: train with this framework on TPU,
+    ``torch.save`` the result, and load it into the reference PyTorch
+    implementation (verified in tests/test_reference_parity.py).
+    """
+    import torch
+
+    out = export_pretrained_state_dict(
+        params["pretrained_model"], encoder_arch, prefix="pretrained_model."
+    )
+    if intent_arch is not None:
+        for spec in intent_arch.layers:
+            if spec.kind == "gru":
+                _gru_to_torch(
+                    out, f"intent_layers.{spec.index}", params["intent_layers"][str(spec.index)]
+                )
+        _linear_to_torch(
+            out,
+            f"intent_layers.{intent_arch.linear_index}",
+            params["intent_layers"][str(intent_arch.linear_index)],
+        )
+    if seq2seq_arch is not None:
+        for idx in range(seq2seq_arch.num_encoder_layers):
+            _gru_to_torch(out, f"encoder.layers.{3 * idx}", params["encoder"][str(3 * idx)])
+        dec = params["decoder"]
+        _linear_to_torch(out, "decoder.embed", dec["embed"])
+        _linear_to_torch(out, "decoder.attention.key_linear", dec["attention"]["key"])
+        _linear_to_torch(out, "decoder.attention.query_linear", dec["attention"]["query"])
+        _linear_to_torch(out, "decoder.attention.value_linear", dec["attention"]["value"])
+        for idx in range(seq2seq_arch.num_decoder_layers):
+            _gru_to_torch(out, f"decoder.rnn.layers.{2 * idx}", dec["rnn"][str(2 * idx)], cell=True)
+        out["decoder.initial_state"] = torch.from_numpy(np.asarray(dec["initial_state"]).copy())
+        _linear_to_torch(out, "decoder.linear", dec["linear"])
+    return out
+
+
 def export_pretrained_state_dict(params, arch, prefix: str = "") -> dict:
     """Param pytree -> torch state_dict keyed like the reference PretrainedModel."""
     import torch

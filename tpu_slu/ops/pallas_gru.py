@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TIME_BLOCK = 8
+TIME_BLOCK = 16
 
 
 def gru_pallas_available() -> bool:

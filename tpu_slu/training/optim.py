@@ -15,6 +15,59 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def flat_adam_init(params):
+    """State for :func:`flat_adam_update`: m/v as one raveled vector each,
+    per-leaf step counts as an (L,) vector."""
+    from jax.flatten_util import ravel_pytree
+
+    flat, _ = ravel_pytree(params)
+    n_leaves = len(jax.tree.leaves(params))
+    return {
+        "m": jnp.zeros_like(flat),
+        "v": jnp.zeros_like(flat),
+        "step": jnp.zeros((n_leaves,), jnp.int32),
+    }
+
+
+def flat_adam_update(params, grads, state, mask, lr, b1=0.9, b2=0.999, eps=1e-8):
+    """Masked Adam over ONE raveled vector (identical math to
+    :func:`adam_update`, same per-leaf step semantics).
+
+    The per-leaf formulation emits hundreds of tiny kernels (measured
+    ~1.8 ms/step on a v5e for a 3.7 M-param model — more than the entire
+    forward pass); raveling collapses it to a handful of fused elementwise
+    ops. ``mask`` is a pytree whose leaves are 0/1 scalars (one per param
+    leaf, as produced by ``Model.trainable_mask``).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    flat_p, unravel = ravel_pytree(params)
+    flat_g, _ = ravel_pytree(grads)
+    sizes = [int(np.prod(jnp.shape(x))) for x in jax.tree.leaves(params)]
+    mask_leaf = jnp.stack(
+        [jnp.asarray(m, jnp.float32).reshape(()) for m in jax.tree.leaves(mask)]
+    )  # (L,)
+
+    on_leaf = mask_leaf > 0.0
+    step_new = jnp.where(on_leaf, state["step"] + 1, state["step"])  # (L,)
+    t_leaf = jnp.maximum(step_new, 1).astype(jnp.float32)
+
+    # Broadcast per-leaf scalars to the raveled layout (static sizes).
+    mask_vec = jnp.repeat(mask_leaf, np.asarray(sizes), total_repeat_length=flat_p.shape[0])
+    t_vec = jnp.repeat(t_leaf, np.asarray(sizes), total_repeat_length=flat_p.shape[0])
+
+    on = mask_vec > 0.0
+    m_new = jnp.where(on, b1 * state["m"] + (1.0 - b1) * flat_g, state["m"])
+    v_new = jnp.where(on, b2 * state["v"] + (1.0 - b2) * flat_g * flat_g, state["v"])
+    m_hat = m_new / (1.0 - b1**t_vec)
+    v_hat = v_new / (1.0 - b2**t_vec)
+    upd = lr * m_hat / (jnp.sqrt(v_hat) + eps)
+    p_new = jnp.where(on, flat_p - upd, flat_p)
+
+    return unravel(p_new), {"m": m_new, "v": v_new, "step": step_new}
 
 
 def adam_init(params):

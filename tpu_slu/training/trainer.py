@@ -32,7 +32,7 @@ from tpu_slu.models import encoder as enc
 from tpu_slu.models import slu as slu_mod
 from tpu_slu.models.encoder import PretrainedModel
 from tpu_slu.training import checkpoint as ckpt
-from tpu_slu.training.optim import adam_init, adam_update
+from tpu_slu.training.optim import flat_adam_init, flat_adam_update
 
 
 def _weighted_mean(total, count):
@@ -53,10 +53,15 @@ class Trainer:
             self.checkpoint_path = os.path.join(config.folder, "training")
             batch_size = config.training_batch_size
         os.makedirs(self.checkpoint_path, exist_ok=True)
-        self.opt_state = adam_init(model.params)
+        self.opt_state = flat_adam_init(model.params)
         self.epoch = 0
         self._rows: list[dict] = []
-        self._base_rng = jax.random.PRNGKey(config.seed)
+        # RBG bit generator: much cheaper dropout-mask generation on TPU than
+        # the threefry default (measured ~0.35 ms/step of threefry hashing on
+        # the flagship model); override with config prng_impl=threefry.
+        self._base_rng = jax.random.key(
+            config.seed, impl=getattr(config, "prng_impl", "rbg")
+        )
         self._step_count = 0
         self._ckpt_backend = getattr(config, "checkpoint_backend", "npz")
         ext = "orbax" if self._ckpt_backend == "orbax" else "npz"
@@ -136,7 +141,7 @@ class Trainer:
                 grads, aux = jax.grad(loss_fn, has_aux=True)(params)
                 grads = clip_grads(grads)
                 mask = jax.tree.map(lambda _: 1.0, params)
-                params, opt_state = adam_update(params, grads, opt_state, mask, lr)
+                params, opt_state = flat_adam_update(params, grads, opt_state, mask, lr)
                 return params, opt_state, aux
 
             def eval_step(params, batch):
@@ -203,7 +208,7 @@ class Trainer:
             )
             (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             grads = clip_grads(grads)
-            params, opt_state = adam_update(params, grads, opt_state, mask, lr)
+            params, opt_state = flat_adam_update(params, grads, opt_state, mask, lr)
             return params, opt_state, (loss, acc)
 
         def eval_step(params, batch):
