@@ -185,6 +185,181 @@ def _bwd_call(gi_f, hprev_f, dy_f, w_hh, b_hh):
 
 
 # ---------------------------------------------------------------------------
+# Fused bidirectional kernels
+#
+# A bidirectional layer as two pallas_calls runs the directions sequentially
+# (one TPU core, no stream overlap), paying the serial per-step latency twice.
+# These kernels interleave forward step t and backward step T-1-t in the SAME
+# grid iteration: the two directions' matmuls are independent and pipeline
+# back-to-back through the MXU, nearly halving recurrence-bound wall time.
+# Both directions' gate streams arrive pre-flipped to processing order, so
+# the step loop is identical for both.
+# ---------------------------------------------------------------------------
+
+BWD_TIME_BLOCK = 8  # the joint backward kernel streams 8 block operands
+
+
+def _bidir_fwd_kernel(gif_ref, gib_ref, wf_ref, bf_ref, wb_ref, bb_ref,
+                      outf_ref, outb_ref, hf_ref, hb_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        hf_ref[:] = jnp.zeros_like(hf_ref)
+        hb_ref[:] = jnp.zeros_like(hb_ref)
+
+    def one(gi, h, w_ref, b_ref):
+        gh = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32) + b_ref[0]
+        H = h.shape[-1]
+        r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
+        z = jax.nn.sigmoid(gi[:, H : 2 * H] + gh[:, H : 2 * H])
+        n = jnp.tanh(gi[:, 2 * H :] + r * gh[:, 2 * H :])
+        return (1.0 - z) * n + z * h
+
+    def step(u, carry):
+        hf, hb = carry
+        hf = one(gif_ref[u], hf, wf_ref, bf_ref)
+        hb = one(gib_ref[u], hb, wb_ref, bb_ref)
+        outf_ref[u] = hf
+        outb_ref[u] = hb
+        return hf, hb
+
+    hf, hb = jax.lax.fori_loop(0, gif_ref.shape[0], step, (hf_ref[:], hb_ref[:]))
+    hf_ref[:] = hf
+    hb_ref[:] = hb
+
+
+def _bidir_fwd_call(gi_f, gi_b, w_f, b_f, w_b, b_b):
+    Tp, B, threeH = gi_f.shape
+    H = threeH // 3
+    stream = lambda i: (i, 0, 0)  # noqa: E731
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _bidir_fwd_kernel,
+        grid=(Tp // TIME_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((TIME_BLOCK, B, threeH), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TIME_BLOCK, B, threeH), stream, memory_space=pltpu.VMEM),
+            full, full, full, full,
+        ],
+        out_specs=[
+            pl.BlockSpec((TIME_BLOCK, B, H), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TIME_BLOCK, B, H), stream, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32), pltpu.VMEM((B, H), jnp.float32)],
+        interpret=_interpret(),
+    )(gi_f, gi_b, w_f, b_f, w_b, b_b)
+
+
+def _bidir_bwd_kernel(gif_ref, gib_ref, hpf_ref, hpb_ref, dyf_ref, dyb_ref,
+                      wf_ref, wft_ref, bf_ref, wb_ref, wbt_ref, bb_ref,
+                      dgif_ref, dgib_ref, dwf_ref, dbf_ref, dwb_ref, dbb_ref,
+                      dhf_ref, dhb_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for ref in (dhf_ref, dhb_ref, dwf_ref, dbf_ref, dwb_ref, dbb_ref):
+            ref[:] = jnp.zeros_like(ref)
+
+    def one(gi, h_prev, dy, dh_in, w_ref, wt_ref, b_ref, dw_ref, db_ref):
+        dh = dh_in + dy
+        gh = jnp.dot(h_prev, w_ref[:], preferred_element_type=jnp.float32) + b_ref[0]
+        H = h_prev.shape[-1]
+        r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
+        z = jax.nn.sigmoid(gi[:, H : 2 * H] + gh[:, H : 2 * H])
+        gh_n = gh[:, 2 * H :]
+        n = jnp.tanh(gi[:, 2 * H :] + r * gh_n)
+        dn = dh * (1.0 - z)
+        dz = dh * (h_prev - n)
+        dn_pre = dn * (1.0 - n * n)
+        dr_pre = dn_pre * gh_n * r * (1.0 - r)
+        dz_pre = dz * z * (1.0 - z)
+        dgh = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=1)
+        dgi = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
+        dw_ref[:] += jnp.dot(h_prev.T, dgh, preferred_element_type=jnp.float32)
+        db_ref[:] += jnp.sum(dgh, axis=0, keepdims=True)
+        dh_out = jnp.dot(dgh, wt_ref[:], preferred_element_type=jnp.float32) + dh * z
+        return dgi, dh_out
+
+    def step(u, carry):
+        dhf, dhb = carry
+        dgif, dhf = one(gif_ref[u], hpf_ref[u], dyf_ref[u], dhf,
+                        wf_ref, wft_ref, bf_ref, dwf_ref, dbf_ref)
+        dgib, dhb = one(gib_ref[u], hpb_ref[u], dyb_ref[u], dhb,
+                        wb_ref, wbt_ref, bb_ref, dwb_ref, dbb_ref)
+        dgif_ref[u] = dgif
+        dgib_ref[u] = dgib
+        return dhf, dhb
+
+    dhf, dhb = jax.lax.fori_loop(0, gif_ref.shape[0], step, (dhf_ref[:], dhb_ref[:]))
+    dhf_ref[:] = dhf
+    dhb_ref[:] = dhb
+
+
+def _bidir_bwd_call(gi_f, gi_b, hp_f, hp_b, dy_f, dy_b, w_f, b_f, w_b, b_b):
+    Tp, B, threeH = gi_f.shape
+    H = threeH // 3
+    TB = BWD_TIME_BLOCK
+    stream3 = pl.BlockSpec((TB, B, threeH), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    stream1 = pl.BlockSpec((TB, B, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    fixed_w = pl.BlockSpec((H, threeH), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    fixed_b = pl.BlockSpec((1, threeH), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _bidir_bwd_kernel,
+        grid=(Tp // TB,),
+        in_specs=[stream3, stream3, stream1, stream1, stream1, stream1,
+                  full, full, full, full, full, full],
+        out_specs=[stream3, stream3, fixed_w, fixed_b, fixed_w, fixed_b],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, B, threeH), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, B, threeH), jnp.float32),
+            jax.ShapeDtypeStruct((H, threeH), jnp.float32),
+            jax.ShapeDtypeStruct((1, threeH), jnp.float32),
+            jax.ShapeDtypeStruct((H, threeH), jnp.float32),
+            jax.ShapeDtypeStruct((1, threeH), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32), pltpu.VMEM((B, H), jnp.float32)],
+        interpret=_interpret(),
+    )(gi_f, gi_b, hp_f, hp_b, dy_f, dy_b, w_f, w_f.T, b_f, w_b, w_b.T, b_b)
+
+
+@jax.custom_vjp
+def _bigru_seq(gi_f, gi_b, w_f, b_f, w_b, b_b):
+    """Joint bidirectional GRU over processing-order gate streams.
+
+    gi_f: forward gates (Tp, B, 3H); gi_b: backward gates, ALREADY
+    time-flipped to processing order. Returns (h_f, h_b) in processing order.
+    """
+    return tuple(_bidir_fwd_call(gi_f, gi_b, w_f, b_f[None, :], w_b, b_b[None, :]))
+
+
+def _bigru_seq_fwd(gi_f, gi_b, w_f, b_f, w_b, b_b):
+    h_f, h_b = _bidir_fwd_call(gi_f, gi_b, w_f, b_f[None, :], w_b, b_b[None, :])
+    return (h_f, h_b), (gi_f, gi_b, h_f, h_b, w_f, b_f, w_b, b_b)
+
+
+def _bigru_seq_bwd(res, dY):
+    gi_f, gi_b, h_f, h_b, w_f, b_f, w_b, b_b = res
+    dy_f, dy_b = dY
+    Tp, B, _ = gi_f.shape
+    H = h_f.shape[-1]
+    zero = jnp.zeros((1, B, H), jnp.float32)
+    hp_f = jnp.concatenate([zero, h_f[:-1]], axis=0)
+    hp_b = jnp.concatenate([zero, h_b[:-1]], axis=0)
+    flip = lambda a: jnp.flip(a, axis=0)  # noqa: E731
+    dgi_f, dgi_b, dw_f, db_f, dw_b, db_b = _bidir_bwd_call(
+        flip(gi_f), flip(gi_b), flip(hp_f), flip(hp_b), flip(dy_f), flip(dy_b),
+        w_f, b_f[None, :], w_b, b_b[None, :],
+    )
+    return flip(dgi_f), flip(dgi_b), dw_f, db_f[0], dw_b, db_b[0]
+
+
+_bigru_seq.defvjp(_bigru_seq_fwd, _bigru_seq_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Differentiable core
 # ---------------------------------------------------------------------------
 
@@ -240,13 +415,37 @@ def _run_direction(params_dir, x, reverse: bool):
     return jnp.swapaxes(out, 0, 1)  # (B, T, H)
 
 
+def _gates(params_dir, x):
+    """(B, T, D) -> time-major input gates (T, B, 3H), one MXU matmul."""
+    gi = (
+        jnp.dot(x, params_dir["w_ih"], preferred_element_type=jnp.float32)
+        + params_dir["b_ih"]
+    )
+    return jnp.swapaxes(gi, 0, 1)
+
+
 def gru_apply_pallas(params, x):
     """Bidirectional (or uni) GRU via the fused kernels. x: (B, T, D).
 
-    Differentiable: gradients flow through the custom-VJP backward kernel.
+    Differentiable: gradients flow through the custom-VJP backward kernels.
+    Bidirectional layers use the joint kernel (both directions stepped in the
+    same grid iteration).
     """
-    out_f = _run_direction(params["fwd"], x, reverse=False)
     if "bwd" not in params:
-        return out_f
-    out_b = _run_direction(params["bwd"], x, reverse=True)
+        return _run_direction(params["fwd"], x, reverse=False)
+    B, T, _ = x.shape
+    gi_f = _gates(params["fwd"], x)
+    gi_b = jnp.flip(_gates(params["bwd"], x), axis=0)  # processing order
+    Tp = -(-T // TIME_BLOCK) * TIME_BLOCK
+    if Tp != T:
+        pad = ((0, Tp - T), (0, 0), (0, 0))
+        gi_f = jnp.pad(gi_f, pad)
+        gi_b = jnp.pad(gi_b, pad)
+    h_f, h_b = _bigru_seq(
+        gi_f, gi_b,
+        params["fwd"]["w_hh"], params["fwd"]["b_hh"],
+        params["bwd"]["w_hh"], params["bwd"]["b_hh"],
+    )
+    out_f = jnp.swapaxes(h_f[:T], 0, 1)
+    out_b = jnp.swapaxes(jnp.flip(h_b[:T], axis=0), 0, 1)
     return jnp.concatenate([out_f, out_b], axis=-1)
