@@ -52,6 +52,51 @@ class TestAudio:
         np.testing.assert_allclose(x, left, atol=1.0 / 16384)
 
 
+class TestWavRobustness:
+    def test_garbage_bytes_raise_cleanly(self, tmp_path, rng):
+        for i, payload in enumerate(
+            [b"", b"RIFF", b"RIFFxxxxWAVE", bytes(rng.integers(0, 256, 200, dtype=np.uint8))]
+        ):
+            path = str(tmp_path / f"g{i}.bin")
+            open(path, "wb").write(payload)
+            with pytest.raises((ValueError, Exception)):
+                read_wav(path)
+
+    def test_truncated_wav_does_not_crash(self, tmp_path, rng):
+        path = str(tmp_path / "t.wav")
+        write_wav(path, rng.uniform(-0.5, 0.5, 4000).astype(np.float32), 16000)
+        data = open(path, "rb").read()
+        trunc = str(tmp_path / "trunc.wav")
+        open(trunc, "wb").write(data[: len(data) // 2])
+        import os as _os
+
+        _os.environ["TPU_SLU_NO_NATIVE"] = "1"
+        try:
+            x, fs = read_wav(trunc)  # short read: decodes what exists
+            assert fs == 16000 and 0 < len(x) < 4000
+        finally:
+            del _os.environ["TPU_SLU_NO_NATIVE"]
+
+    def test_fuzz_mutated_headers(self, tmp_path, rng):
+        """Random header mutations either decode or raise ValueError —
+        never crash the process or return NaNs."""
+        base = str(tmp_path / "b.wav")
+        write_wav(base, rng.uniform(-0.5, 0.5, 1000).astype(np.float32), 16000)
+        data = bytearray(open(base, "rb").read())
+        for trial in range(50):
+            mutated = bytearray(data)
+            for _ in range(3):
+                pos = int(rng.integers(0, min(64, len(mutated))))
+                mutated[pos] = int(rng.integers(0, 256))
+            path = str(tmp_path / "m.wav")
+            open(path, "wb").write(bytes(mutated))
+            try:
+                x, _ = read_wav(path)
+                assert np.isfinite(x).all() or len(x) == 0
+            except (ValueError, ZeroDivisionError):
+                pass
+
+
 class TestTextGrid:
     def test_roundtrip(self, tmp_path):
         path = str(tmp_path / "t.TextGrid")
