@@ -113,6 +113,29 @@ class BatchLoader:
                 yield fut.result()
 
 
+def device_prefetch(batches, place_fn, depth: int = 2):
+    """Overlap host->device batch transfers with compute.
+
+    Yields (real_example_count, placed_batch). ``place_fn`` runs in a worker
+    thread so a blocking transfer (slow PCIe, or the dev-relay's ~50 MB/s
+    link) overlaps the device step instead of serializing with it.
+    """
+    import collections
+
+    def place(batch):
+        bs = float(batch["w"].sum())  # host-side, before the device copy
+        return bs, place_fn(batch)
+
+    with cf.ThreadPoolExecutor(max_workers=1) as pool:
+        pending = collections.deque()
+        for batch in batches:
+            pending.append(pool.submit(place, batch))
+            if len(pending) > depth:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
+
+
 def pad_wave_batch(waves, batch_size: int, quant: int):
     """Zero-pad variable-length waveforms into a (batch_size, T_bucket) array.
 

@@ -101,10 +101,16 @@ class Trainer:
 
     def _place_batch(self, batch):
         if self.mesh is None:
-            return batch
+            return jax.device_put(batch)
         from tpu_slu.parallel.mesh import shard_batch
 
         return shard_batch(batch, self.mesh)
+
+    def _batches(self, dataset):
+        """Iterate (real_count, device_batch) with transfers overlapped."""
+        from tpu_slu.data.loader import device_prefetch
+
+        return device_prefetch(dataset.loader, self._place_batch)
 
     # -- jitted steps ---------------------------------------------------------
 
@@ -301,32 +307,32 @@ class Trainer:
     def _train_asr(self, dataset, print_interval):
         from tpu_slu.utils.profiling import StepTimer, profile_trace
 
+        # Metrics accumulate as device scalars: fetching them per step costs
+        # two host<->device round-trips (~0.5 s/step through the axon relay
+        # vs ~3 ms of device compute); sync only at print steps + epoch end.
         totals = {"phone_loss": 0.0, "phone_acc": 0.0, "word_loss": 0.0, "word_acc": 0.0}
         num_examples = 0.0
         t0 = time.time()
         timer = StepTimer()
         profile_dir = getattr(self.config, "profile_dir", None) if self.epoch == 0 else None
         with profile_trace(profile_dir):
-            for idx, batch in enumerate(dataset.loader):
-                bs = float(batch["w"].sum())
-                batch = self._place_batch(batch)
+            for idx, (bs, batch) in enumerate(self._batches(dataset)):
                 num_examples += bs
                 with timer.step():
                     self.model.params, self.opt_state, aux = self._train_step(
                         self.model.params, self.opt_state, self._next_rng(), batch
                     )
-                    aux = [float(a) for a in aux]
                 pl_, wl, pa, wa = aux
-                totals["phone_loss"] += pl_ * bs
-                totals["word_loss"] += wl * bs
-                totals["phone_acc"] += pa * bs
-                totals["word_acc"] += wa * bs
+                totals["phone_loss"] = totals["phone_loss"] + pl_ * bs
+                totals["word_loss"] = totals["word_loss"] + wl * bs
+                totals["phone_acc"] = totals["phone_acc"] + pa * bs
+                totals["word_acc"] = totals["word_acc"] + wa * bs
                 if idx % print_interval == 0:
-                    print(f"phoneme loss: {pl_}")
-                    print(f"word loss: {wl}")
-                    print(f"phoneme acc: {pa}")
-                    print(f"word acc: {wa}")
-        results = {k: _weighted_mean(v, num_examples) for k, v in totals.items()}
+                    print(f"phoneme loss: {float(pl_)}")
+                    print(f"word loss: {float(wl)}")
+                    print(f"phoneme acc: {float(pa)}")
+                    print(f"word acc: {float(wa)}")
+        results = {k: _weighted_mean(float(v), num_examples) for k, v in totals.items()}
         results["set"] = "train"
         results["examples_per_sec"] = num_examples / max(time.time() - t0, 1e-9)
         results.update(timer.summary())
@@ -342,6 +348,7 @@ class Trainer:
     def _train_slu(self, dataset, print_interval):
         from tpu_slu.utils.profiling import StepTimer, profile_trace
 
+        # Device-side metric accumulation (see _train_asr comment).
         total_loss = 0.0
         total_acc = 0.0
         num_examples = 0.0
@@ -351,25 +358,21 @@ class Trainer:
         mask = self.model.trainable_mask()
         profile_dir = getattr(self.config, "profile_dir", None) if self.epoch == 0 else None
         with profile_trace(profile_dir):
-            for idx, batch in enumerate(dataset.loader):
-                bs = float(batch["w"].sum())
-                batch = self._place_batch(batch)
+            for idx, (bs, batch) in enumerate(self._batches(dataset)):
                 num_examples += bs
                 with timer.step():
                     self.model.params, self.opt_state, (loss, acc) = self._train_step(
                         self.model.params, self.opt_state, mask, self._next_rng(), batch
                     )
-                    loss = float(loss)
-                    acc = float(acc)
-                total_loss += loss * bs
-                total_acc += acc * bs
+                total_loss = total_loss + loss * bs
+                total_acc = total_acc + acc * bs
                 if idx % print_interval == 0:
-                    print(f"intent loss: {loss}")
-                    print(f"intent acc: {acc}")
+                    print(f"intent loss: {float(loss)}")
+                    print(f"intent acc: {float(acc)}")
         self.model.unfreeze_one_layer()  # per-epoch ULMFiT trigger (training.py:115)
         results = {
-            "intent_loss": _weighted_mean(total_loss, num_examples),
-            "intent_acc": _weighted_mean(total_acc, num_examples),
+            "intent_loss": _weighted_mean(float(total_loss), num_examples),
+            "intent_acc": _weighted_mean(float(total_acc), num_examples),
             "set": "train",
             "examples_per_sec": num_examples / max(time.time() - t0, 1e-9),
         }
@@ -382,16 +385,14 @@ class Trainer:
         if isinstance(dataset, ASRDataset):
             totals = {"phone_loss": 0.0, "phone_acc": 0.0, "word_loss": 0.0, "word_acc": 0.0}
             num_examples = 0.0
-            for batch in dataset.loader:
-                bs = float(batch["w"].sum())
-                batch = self._place_batch(batch)
+            for bs, batch in self._batches(dataset):
                 num_examples += bs
-                pl_, wl, pa, wa = (float(a) for a in self._eval_step(self.model.params, batch))
-                totals["phone_loss"] += pl_ * bs
-                totals["word_loss"] += wl * bs
-                totals["phone_acc"] += pa * bs
-                totals["word_acc"] += wa * bs
-            results = {k: _weighted_mean(v, num_examples) for k, v in totals.items()}
+                pl_, wl, pa, wa = self._eval_step(self.model.params, batch)
+                totals["phone_loss"] = totals["phone_loss"] + pl_ * bs
+                totals["word_loss"] = totals["word_loss"] + wl * bs
+                totals["phone_acc"] = totals["phone_acc"] + pa * bs
+                totals["word_acc"] = totals["word_acc"] + wa * bs
+            results = {k: _weighted_mean(float(v), num_examples) for k, v in totals.items()}
             results["set"] = log_set
             self.log(results)
             return (
@@ -404,16 +405,15 @@ class Trainer:
         total_loss = 0.0
         total_acc = 0.0
         num_examples = 0.0
-        for idx, batch in enumerate(dataset.loader):
-            bs = float(batch["w"].sum())
+        for idx, (bs, batch) in enumerate(self._batches(dataset)):
             num_examples += bs
-            loss, acc = self._eval_step(self.model.params, self._place_batch(batch))
-            total_loss += float(loss) * bs
-            total_acc += float(acc) * bs
+            loss, acc = self._eval_step(self.model.params, batch)
+            total_loss = total_loss + loss * bs
+            total_acc = total_acc + acc * bs
             if self.model.seq2seq and self.epoch > 1:
                 # String-exact-match accuracy via beam decode
                 # (reference training.py:158-165)
-                n_real = int(batch["w"].sum())
+                n_real = int(bs)
                 guesses = np.array(self.model.decode_intents(batch["x"][:n_real]))
                 truths = np.array(
                     [
@@ -428,8 +428,8 @@ class Trainer:
                 print(f"guess: {guesses[0]}")
                 print(f"truth: {truths[0]}")
         results = {
-            "intent_loss": _weighted_mean(total_loss, num_examples),
-            "intent_acc": _weighted_mean(total_acc, num_examples),
+            "intent_loss": _weighted_mean(float(total_loss), num_examples),
+            "intent_acc": _weighted_mean(float(total_acc), num_examples),
             "set": log_set,
         }
         self.log(results)
