@@ -34,6 +34,61 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 TORCH_CPU_BASELINE_UTT_S = 90.8  # see module docstring
 
 
+V5E_HBM_GBPS = 819.0  # TPU v5e HBM bandwidth
+
+
+def estimate_encoder_hbm_bytes(arch, batch: int, t_samples: int) -> int:
+    """Minimum HBM traffic of one encoder forward (bytes, f32).
+
+    Walks the layer chain counting activation reads+writes (weights are
+    negligible at 3.7 M params and stay resident). GRU layers are modeled as
+    executed: the input-projection matmul reads x and writes the (T, B, 3H)
+    gate tensor, and the fused kernel re-reads the gates and writes (T, B, H)
+    outputs per direction. Pools/elementwise read+write their operands
+    This is the *naive materialization* model: every intermediate written
+    once and read once by its consumer. A roofline fraction > 1 means the
+    compiled program touches HBM less than that — XLA/Pallas fusion keeping
+    intermediates in VMEM — i.e. the encoder runs at or beyond the naive
+    memory-bandwidth roofline.
+    """
+    from tpu_slu.models.encoder import frames_through
+
+    f32 = 4
+    total = batch * t_samples * f32  # read the waveform
+    t = t_samples
+    c = 1
+    for spec in list(arch.phoneme_layers) + list(arch.word_layers):
+        if spec.kind in ("sinc", "conv"):
+            if spec.kind == "sinc":
+                n_filt, k, _, stride, pad = spec.h
+                cout = n_filt
+            else:
+                _, cout, k, stride, pad = spec.h
+            t = (t + 2 * pad - k) // stride + 1
+            c = cout
+            total += batch * t * c * f32  # write activations
+        elif spec.kind == "pool":
+            if spec.h[0] > 1:
+                total += batch * t * c * f32  # read
+                t = -(-t // spec.h[0])
+                total += batch * t * c * f32  # write
+        elif spec.kind == "gru":
+            in_dim, hidden, bidir = spec.h
+            dirs = 2 if bidir else 1
+            gates = batch * t * 3 * hidden * f32
+            # read x for projection + write gates + kernel reads gates +
+            # writes outputs, per direction
+            total += dirs * (batch * t * in_dim * f32 + 2 * gates + batch * t * hidden * f32)
+            c = hidden * dirs
+        elif spec.kind == "downsample":
+            method, factor = spec.h
+            if factor > 1:
+                total += batch * t * c * f32
+                t = -(-t // factor)
+                total += batch * t * c * f32
+    return total
+
+
 def measure_torch_baseline(batch=16, seconds=4.0):
     import torch
 
@@ -63,6 +118,7 @@ def main():
     parser.add_argument("--seconds", type=float, default=4.0)
     parser.add_argument("--iters", type=int, default=100)
     parser.add_argument("--gru-impl", choices=["auto", "scan", "pallas"], default="auto")
+    parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
     parser.add_argument("--measure-baseline", action="store_true")
     args = parser.parse_args()
 
@@ -88,7 +144,12 @@ def main():
     B, T = args.batch, int(args.seconds * 16000)
     x = jnp.asarray(np.random.default_rng(0).standard_normal((B, T), np.float32))
 
-    fwd = jax.jit(lambda p, x: enc.encoder_features(p, earch, x, gru_impl=gru_impl))
+    compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    fwd = jax.jit(
+        lambda p, x: enc.encoder_features(
+            p, earch, x, gru_impl=gru_impl, compute_dtype=compute_dtype
+        )
+    )
 
     t0 = time.time()
     np.asarray(fwd(params, x))
@@ -132,6 +193,12 @@ def main():
 
     baseline = measure_torch_baseline() if args.measure_baseline else TORCH_CPU_BASELINE_UTT_S
 
+    # HBM-bandwidth roofline (the BASELINE.json north-star framing): achieved
+    # bytes/s over the v5e's 819 GB/s, using a conservative traffic estimate.
+    hbm_bytes = estimate_encoder_hbm_bytes(earch, B, T)
+    achieved_gbps = hbm_bytes / dt / 1e9
+    roofline_frac = achieved_gbps / V5E_HBM_GBPS
+
     print(
         json.dumps(
             {
@@ -140,8 +207,11 @@ def main():
                 "unit": "utt/s/chip (B=%d, %gs audio)" % (B, args.seconds),
                 "vs_baseline": round(utt_per_s / baseline, 2),
                 "baseline": "reference torch-CPU encoder fwd %.1f utt/s" % baseline,
+                "hbm_roofline_frac": round(roofline_frac, 3),
+                "achieved_gbps": round(achieved_gbps, 1),
                 "p50_decode_ms": round(p50_ms, 1),
                 "gru_impl": gru_impl,
+                "dtype": args.dtype,
                 "ms_per_iter_device": round(dt * 1000, 3),
                 "compile_s": round(compile_s, 1),
                 "backend": jax.default_backend(),

@@ -226,6 +226,13 @@ def read_config(config_file: str, make_dirs: bool = True) -> Config:
         config.gru_impl = parser.get("training", "gru_impl")
     except configparser.Error:
         config.gru_impl = "auto"
+    # Extension: compute dtype for the GRU gate streams ("float32" default;
+    # "bfloat16" halves the dominant HBM traffic — hidden-state recurrence
+    # and losses stay float32 either way).
+    try:
+        config.compute_dtype = parser.get("training", "compute_dtype")
+    except configparser.Error:
+        config.compute_dtype = "float32"
     # Extension: PRNG implementation for dropout keys ("rbg" default: fast
     # XLA RngBitGenerator; "threefry" for jax-default reproducibility).
     try:

@@ -233,8 +233,14 @@ def init_encoder_params(key, arch: EncoderArch) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _apply_stack(group_params, specs, out, *, train: bool, rng, gru_impl: str):
-    """Run a LayerSpec stack. Conv specs take (B, C, T); RNN specs (B, T, C)."""
+def _apply_stack(group_params, specs, out, *, train: bool, rng, gru_impl: str,
+                 compute_dtype=None):
+    """Run a LayerSpec stack. Conv specs take (B, C, T); RNN specs (B, T, C).
+
+    ``compute_dtype`` (e.g. jnp.bfloat16) casts GRU-layer inputs so the
+    Pallas kernels stream half-width gate tensors — the dominant HBM traffic.
+    Hidden-state recurrence and losses stay float32.
+    """
     for spec in specs:
         if spec.kind == "sinc":
             p = group_params[str(spec.index)]
@@ -259,6 +265,8 @@ def _apply_stack(group_params, specs, out, *, train: bool, rng, gru_impl: str):
         elif spec.kind == "ncl2nlc":
             out = jnp.swapaxes(out, 1, 2)  # (B, C, T) -> (B, T, C)
         elif spec.kind == "gru":
+            if compute_dtype is not None:
+                out = out.astype(compute_dtype)
             out = ops.gru_apply(group_params[str(spec.index)], out, impl=gru_impl)
         elif spec.kind == "select":
             pass  # gru_apply already returns the output sequence
@@ -269,16 +277,19 @@ def _apply_stack(group_params, specs, out, *, train: bool, rng, gru_impl: str):
     return out, rng
 
 
-def encoder_phoneme_features(params, arch: EncoderArch, x, *, train=False, rng=None, gru_impl="scan"):
+def encoder_phoneme_features(params, arch: EncoderArch, x, *, train=False, rng=None, gru_impl="scan",
+                     compute_dtype=None):
     """x: (B, T) waveform -> (B, T/phone_ds, phoneme_feat_dim) @25 Hz."""
     out = x[:, None, :]
     out, _ = _apply_stack(
-        params["phoneme_layers"], arch.phoneme_layers, out, train=train, rng=rng, gru_impl=gru_impl
+        params["phoneme_layers"], arch.phoneme_layers, out, train=train, rng=rng,
+        gru_impl=gru_impl, compute_dtype=compute_dtype,
     )
     return out
 
 
-def encoder_features(params, arch: EncoderArch, x, *, train=False, rng=None, gru_impl="scan"):
+def encoder_features(params, arch: EncoderArch, x, *, train=False, rng=None, gru_impl="scan",
+                     compute_dtype=None):
     """Full encoder: (B, T) waveform -> (B, T/word_ds, word_feat_dim) @6.25 Hz.
 
     Equivalent of reference ``PretrainedModel.compute_features`` (models.py:349-361).
@@ -287,10 +298,12 @@ def encoder_features(params, arch: EncoderArch, x, *, train=False, rng=None, gru
         rng = jax.random.PRNGKey(0)
     out = x[:, None, :]
     out, rng = _apply_stack(
-        params["phoneme_layers"], arch.phoneme_layers, out, train=train, rng=rng, gru_impl=gru_impl
+        params["phoneme_layers"], arch.phoneme_layers, out, train=train, rng=rng,
+        gru_impl=gru_impl, compute_dtype=compute_dtype,
     )
     out, _ = _apply_stack(
-        params["word_layers"], arch.word_layers, out, train=train, rng=rng, gru_impl=gru_impl
+        params["word_layers"], arch.word_layers, out, train=train, rng=rng,
+        gru_impl=gru_impl, compute_dtype=compute_dtype,
     )
     return out
 
@@ -317,7 +330,7 @@ def _masked_frame_ce(logits, y):
     """
     valid = y != -1
     y_safe = jnp.where(valid, y, 0)
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, y_safe[..., None], axis=-1)[..., 0]
     denom = jnp.maximum(valid.sum(), 1)
     loss = jnp.where(valid, nll, 0.0).sum() / denom
@@ -327,7 +340,7 @@ def _masked_frame_ce(logits, y):
 
 
 def encoder_loss(params, arch: EncoderArch, x, y_phoneme, y_word, *, train=False, rng=None,
-                 gru_impl="scan"):
+                 gru_impl="scan", compute_dtype=None):
     """ASR pre-training losses, reference ``PretrainedModel.forward`` (models.py:291-331).
 
     Returns (phoneme_loss, word_loss, phoneme_acc, word_acc). Labels are
@@ -339,7 +352,8 @@ def encoder_loss(params, arch: EncoderArch, x, y_phoneme, y_word, *, train=False
         rng = jax.random.PRNGKey(0)
     out = x[:, None, :]
     out, rng = _apply_stack(
-        params["phoneme_layers"], arch.phoneme_layers, out, train=train, rng=rng, gru_impl=gru_impl
+        params["phoneme_layers"], arch.phoneme_layers, out, train=train, rng=rng,
+        gru_impl=gru_impl, compute_dtype=compute_dtype,
     )
     # Label streams are host-cropped to the exact frame count; guard against
     # off-by-one between conv ceil lengths and label striding by trimming.
@@ -352,7 +366,8 @@ def encoder_loss(params, arch: EncoderArch, x, y_phoneme, y_word, *, train=False
         return phoneme_loss, zero, phoneme_acc, zero
 
     out, _ = _apply_stack(
-        params["word_layers"], arch.word_layers, out, train=train, rng=rng, gru_impl=gru_impl
+        params["word_layers"], arch.word_layers, out, train=train, rng=rng,
+        gru_impl=gru_impl, compute_dtype=compute_dtype,
     )
     t = min(out.shape[1], y_word.shape[1])
     word_logits = out[:, :t] @ params["word_linear"]["w"] + params["word_linear"]["b"]

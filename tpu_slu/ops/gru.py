@@ -81,6 +81,7 @@ def _gate_update(gi, gh, h):
 # Pallas kernel is the real fast path.
 def _gru_scan(params: GRUDirParams, x, reverse: bool, unroll: int = 2):
     """Unidirectional GRU over x (B, T, D) -> (B, T, H). h0 = 0 (torch default)."""
+    x = x.astype(jnp.float32)  # the scan is the f32 reference path
     B, T, _ = x.shape
     H = params["w_hh"].shape[0]
     # Whole-sequence input projection: one MXU matmul instead of T small ones.
@@ -119,9 +120,11 @@ def gru_apply(params: GRUParams, x, impl: str = "scan"):
     back to scan on non-TPU backends).
     """
     if impl == "pallas":
+        import os
+
         from tpu_slu.ops.pallas_gru import gru_pallas_available, gru_apply_pallas
 
-        if gru_pallas_available():
+        if gru_pallas_available() or os.environ.get("TPU_SLU_PALLAS_INTERPRET"):
             return gru_apply_pallas(params, x)
     out_f = _gru_scan(params["fwd"], x, reverse=False)
     if "bwd" not in params:

@@ -207,7 +207,11 @@ def _bidir_fwd_kernel(gif_ref, gib_ref, wf_ref, bf_ref, wb_ref, bb_ref,
         hb_ref[:] = jnp.zeros_like(hb_ref)
 
     def one(gi, h, w_ref, b_ref):
-        gh = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32) + b_ref[0]
+        gi = gi.astype(jnp.float32)
+        gh = (
+            jnp.dot(h.astype(w_ref.dtype), w_ref[:], preferred_element_type=jnp.float32)
+            + b_ref[0].astype(jnp.float32)
+        )
         H = h.shape[-1]
         r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
         z = jax.nn.sigmoid(gi[:, H : 2 * H] + gh[:, H : 2 * H])
@@ -218,8 +222,8 @@ def _bidir_fwd_kernel(gif_ref, gib_ref, wf_ref, bf_ref, wb_ref, bb_ref,
         hf, hb = carry
         hf = one(gif_ref[u], hf, wf_ref, bf_ref)
         hb = one(gib_ref[u], hb, wb_ref, bb_ref)
-        outf_ref[u] = hf
-        outb_ref[u] = hb
+        outf_ref[u] = hf.astype(outf_ref.dtype)
+        outb_ref[u] = hb.astype(outb_ref.dtype)
         return hf, hb
 
     hf, hb = jax.lax.fori_loop(0, gif_ref.shape[0], step, (hf_ref[:], hb_ref[:]))
@@ -230,6 +234,7 @@ def _bidir_fwd_kernel(gif_ref, gib_ref, wf_ref, bf_ref, wb_ref, bb_ref,
 def _bidir_fwd_call(gi_f, gi_b, w_f, b_f, w_b, b_b):
     Tp, B, threeH = gi_f.shape
     H = threeH // 3
+    dt = gi_f.dtype  # bf16 gate streams halve the dominant HBM traffic
     stream = lambda i: (i, 0, 0)  # noqa: E731
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -245,12 +250,12 @@ def _bidir_fwd_call(gi_f, gi_b, w_f, b_f, w_b, b_b):
             pl.BlockSpec((TIME_BLOCK, B, H), stream, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, B, H), dt),
+            jax.ShapeDtypeStruct((Tp, B, H), dt),
         ],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32), pltpu.VMEM((B, H), jnp.float32)],
         interpret=_interpret(),
-    )(gi_f, gi_b, w_f, b_f, w_b, b_b)
+    )(gi_f, gi_b, w_f.astype(dt), b_f, w_b.astype(dt), b_b)
 
 
 def _bidir_bwd_kernel(gif_ref, gib_ref, hpf_ref, hpb_ref, dyf_ref, dyb_ref,
@@ -263,8 +268,13 @@ def _bidir_bwd_kernel(gif_ref, gib_ref, hpf_ref, hpb_ref, dyf_ref, dyb_ref,
             ref[:] = jnp.zeros_like(ref)
 
     def one(gi, h_prev, dy, dh_in, w_ref, wt_ref, b_ref, dw_ref, db_ref):
-        dh = dh_in + dy
-        gh = jnp.dot(h_prev, w_ref[:], preferred_element_type=jnp.float32) + b_ref[0]
+        gi = gi.astype(jnp.float32)
+        h_prev = h_prev.astype(jnp.float32)
+        dh = dh_in + dy.astype(jnp.float32)
+        gh = (
+            jnp.dot(h_prev.astype(w_ref.dtype), w_ref[:], preferred_element_type=jnp.float32)
+            + b_ref[0].astype(jnp.float32)
+        )
         H = h_prev.shape[-1]
         r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
         z = jax.nn.sigmoid(gi[:, H : 2 * H] + gh[:, H : 2 * H])
@@ -279,7 +289,10 @@ def _bidir_bwd_kernel(gif_ref, gib_ref, hpf_ref, hpb_ref, dyf_ref, dyb_ref,
         dgi = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
         dw_ref[:] += jnp.dot(h_prev.T, dgh, preferred_element_type=jnp.float32)
         db_ref[:] += jnp.sum(dgh, axis=0, keepdims=True)
-        dh_out = jnp.dot(dgh, wt_ref[:], preferred_element_type=jnp.float32) + dh * z
+        dh_out = (
+            jnp.dot(dgh.astype(wt_ref.dtype), wt_ref[:], preferred_element_type=jnp.float32)
+            + dh * z
+        )
         return dgi, dh_out
 
     def step(u, carry):
@@ -288,8 +301,8 @@ def _bidir_bwd_kernel(gif_ref, gib_ref, hpf_ref, hpb_ref, dyf_ref, dyb_ref,
                         wf_ref, wft_ref, bf_ref, dwf_ref, dbf_ref)
         dgib, dhb = one(gib_ref[u], hpb_ref[u], dyb_ref[u], dhb,
                         wb_ref, wbt_ref, bb_ref, dwb_ref, dbb_ref)
-        dgif_ref[u] = dgif
-        dgib_ref[u] = dgib
+        dgif_ref[u] = dgif.astype(dgif_ref.dtype)
+        dgib_ref[u] = dgib.astype(dgib_ref.dtype)
         return dhf, dhb
 
     dhf, dhb = jax.lax.fori_loop(0, gif_ref.shape[0], step, (dhf_ref[:], dhb_ref[:]))
@@ -300,6 +313,7 @@ def _bidir_bwd_kernel(gif_ref, gib_ref, hpf_ref, hpb_ref, dyf_ref, dyb_ref,
 def _bidir_bwd_call(gi_f, gi_b, hp_f, hp_b, dy_f, dy_b, w_f, b_f, w_b, b_b):
     Tp, B, threeH = gi_f.shape
     H = threeH // 3
+    dt = gi_f.dtype
     TB = BWD_TIME_BLOCK
     stream3 = pl.BlockSpec((TB, B, threeH), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     stream1 = pl.BlockSpec((TB, B, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -313,8 +327,8 @@ def _bidir_bwd_call(gi_f, gi_b, hp_f, hp_b, dy_f, dy_b, w_f, b_f, w_b, b_b):
                   full, full, full, full, full, full],
         out_specs=[stream3, stream3, fixed_w, fixed_b, fixed_w, fixed_b],
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, B, threeH), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, B, threeH), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, B, threeH), dt),
+            jax.ShapeDtypeStruct((Tp, B, threeH), dt),
             jax.ShapeDtypeStruct((H, threeH), jnp.float32),
             jax.ShapeDtypeStruct((1, threeH), jnp.float32),
             jax.ShapeDtypeStruct((H, threeH), jnp.float32),
@@ -322,7 +336,8 @@ def _bidir_bwd_call(gi_f, gi_b, hp_f, hp_b, dy_f, dy_b, w_f, b_f, w_b, b_b):
         ],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32), pltpu.VMEM((B, H), jnp.float32)],
         interpret=_interpret(),
-    )(gi_f, gi_b, hp_f, hp_b, dy_f, dy_b, w_f, w_f.T, b_f, w_b, w_b.T, b_b)
+    )(gi_f, gi_b, hp_f, hp_b, dy_f, dy_b,
+      w_f.astype(dt), w_f.T.astype(dt), b_f, w_b.astype(dt), w_b.T.astype(dt), b_b)
 
 
 @jax.custom_vjp
@@ -345,7 +360,7 @@ def _bigru_seq_bwd(res, dY):
     dy_f, dy_b = dY
     Tp, B, _ = gi_f.shape
     H = h_f.shape[-1]
-    zero = jnp.zeros((1, B, H), jnp.float32)
+    zero = jnp.zeros((1, B, H), h_f.dtype)
     hp_f = jnp.concatenate([zero, h_f[:-1]], axis=0)
     hp_b = jnp.concatenate([zero, h_b[:-1]], axis=0)
     flip = lambda a: jnp.flip(a, axis=0)  # noqa: E731
@@ -416,10 +431,17 @@ def _run_direction(params_dir, x, reverse: bool):
 
 
 def _gates(params_dir, x):
-    """(B, T, D) -> time-major input gates (T, B, 3H), one MXU matmul."""
+    """(B, T, D) -> time-major input gates (T, B, 3H), one MXU matmul.
+
+    The gate stream inherits x's dtype: with bfloat16 activations the MXU
+    still accumulates in f32 but the stored stream (the kernels' dominant
+    HBM traffic) is half-width. Params stay f32 masters (grads accumulate
+    back through the casts).
+    """
+    dt = x.dtype
     gi = (
-        jnp.dot(x, params_dir["w_ih"], preferred_element_type=jnp.float32)
-        + params_dir["b_ih"]
+        jnp.dot(x, params_dir["w_ih"].astype(dt), preferred_element_type=dt)
+        + params_dir["b_ih"].astype(dt)
     )
     return jnp.swapaxes(gi, 0, 1)
 

@@ -121,6 +121,11 @@ class Trainer:
         clip = getattr(self.config, "gradient_clip_norm", 0.0)
         gru_impl = resolve_gru_impl(self.config)
         mask_padding = getattr(self.config, "mask_padding", True)
+        compute_dtype = (
+            jnp.bfloat16
+            if getattr(self.config, "compute_dtype", "float32") == "bfloat16"
+            else None
+        )
 
         def clip_grads(grads):
             if clip <= 0.0:
@@ -140,6 +145,7 @@ class Trainer:
                     pl_, wl, pa, wa = enc.encoder_loss(
                         p, arch, batch["x"], batch["y_phoneme"], batch["y_word"],
                         train=True, rng=rng, gru_impl=gru_impl,
+                        compute_dtype=compute_dtype,
                     )
                     loss = {1: pl_, 2: pl_ + wl, 3: wl}[ptype]
                     return loss, (pl_, wl, pa, wa)
@@ -153,7 +159,7 @@ class Trainer:
             def eval_step(params, batch):
                 return enc.encoder_loss(
                     params, arch, batch["x"], batch["y_phoneme"], batch["y_word"],
-                    train=False, gru_impl=gru_impl,
+                    train=False, gru_impl=gru_impl, compute_dtype=compute_dtype,
                 )
 
             self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
@@ -170,7 +176,7 @@ class Trainer:
                     r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
                     feats = enc.encoder_features(
                         p["pretrained_model"], earch, x, train=train, rng=r1,
-                        gru_impl=gru_impl,
+                        gru_impl=gru_impl, compute_dtype=compute_dtype,
                     )
                     fm = None
                     if mask_padding and lengths is not None:
@@ -192,7 +198,7 @@ class Trainer:
                     r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
                     feats = enc.encoder_features(
                         p["pretrained_model"], earch, x, train=train, rng=r1,
-                        gru_impl=gru_impl,
+                        gru_impl=gru_impl, compute_dtype=compute_dtype,
                     )
                     enc_mask = None
                     if mask_padding and lengths is not None:
