@@ -20,6 +20,8 @@ from tpu_slu.data.datasets import get_ASR_datasets, get_SLU_datasets
 from tpu_slu.models import Model, PretrainedModel
 from tpu_slu.training.trainer import Trainer
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -12,6 +12,8 @@ from tpu_slu.models import slu as slu_mod
 from tpu_slu.models.slu import Model
 from tpu_slu.parallel.mesh import make_mesh, param_shardings, shard_batch
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(autouse=True)
 def need_8_devices():

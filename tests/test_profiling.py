@@ -4,6 +4,7 @@ import glob
 import os
 
 import numpy as np
+import pytest
 
 from tests import fixtures
 from tpu_slu import read_config
@@ -11,6 +12,8 @@ from tpu_slu.data.datasets import get_SLU_datasets
 from tpu_slu.models import Model
 from tpu_slu.training.trainer import Trainer
 from tpu_slu.utils.profiling import StepTimer, profile_trace
+
+pytestmark = pytest.mark.slow
 
 
 def test_step_timer_summary():

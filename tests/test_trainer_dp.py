@@ -11,6 +11,8 @@ from tpu_slu.data.datasets import get_SLU_datasets
 from tpu_slu.models import Model
 from tpu_slu.training.trainer import Trainer
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def slu_root(tmp_path_factory):

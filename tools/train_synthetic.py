@@ -128,11 +128,50 @@ gradient_clip_norm=1.0
 """
 
 
+def make_asr_dataset(root, n_per_split=96, seed=0):
+    """LibriSpeech-layout synthetic alignments: tone segments tagged with
+    phoneme/word marks so the dual-head pretraining has real signal."""
+    from tpu_slu.data.audio import write_wav
+    from tpu_slu.data.textgrid import write_textgrid
+
+    # no trailing digits: the ASR vocab builder strips stress digits
+    # (reference data.py:431), which would collapse PH0..PH11 into one class
+    phones = [f"PH{chr(ord('A') + i)}" for i in range(12)]
+    words = [f"word{i}" for i in range(30)]
+    rng = np.random.default_rng(seed)
+    for split in ("train-clean-100", "dev-clean", "test-clean"):
+        tg_dir = os.path.join(root, "text", split, "1", "2")
+        wav_dir = os.path.join(root, "audio", split, "1", "2")
+        os.makedirs(tg_dir, exist_ok=True)
+        os.makedirs(wav_dir, exist_ok=True)
+        for i in range(n_per_split):
+            dur = float(rng.uniform(2.0, 5.0))
+            n_seg = int(dur / 0.25)
+            bounds = np.linspace(0, dur, n_seg + 1)
+            ph_iv, wd_iv = [], []
+            x = np.zeros(int(dur * FS), np.float32)
+            for s in range(n_seg):
+                p = int(rng.integers(len(phones)))
+                w = p % len(words)  # word deterministically tied to phoneme
+                ph_iv.append((float(bounds[s]), float(bounds[s + 1]), phones[p]))
+                wd_iv.append((float(bounds[s]), float(bounds[s + 1]), words[w]))
+                seg = slice(int(bounds[s] * FS), int(bounds[s + 1] * FS))
+                t = np.arange(seg.stop - seg.start) / FS
+                x[seg] = 0.3 * np.sin(2 * np.pi * (400.0 + 450.0 * p) * t)
+            x += 0.02 * rng.standard_normal(len(x)).astype(np.float32)
+            write_textgrid(os.path.join(tg_dir, f"u{i}.TextGrid"),
+                           {"words": wd_iv, "phones": ph_iv}, dur)
+            write_wav(os.path.join(wav_dir, f"u{i}.wav"), x, FS)
+    return root
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=6)
     parser.add_argument("--n-train", type=int, default=2048)
     parser.add_argument("--workdir", type=str, default="/tmp/tpu_slu_synth")
+    parser.add_argument("--pretrain", action="store_true",
+                        help="run the ASR dual-head pretraining demo instead")
     args = parser.parse_args()
 
     import jax
@@ -148,6 +187,50 @@ def main():
     from tpu_slu.training.trainer import Trainer
 
     os.makedirs(args.workdir, exist_ok=True)
+
+    if args.pretrain:
+        from tpu_slu.data.datasets import get_ASR_datasets
+        from tpu_slu.models import PretrainedModel
+        from tpu_slu.training.trainer import Trainer
+
+        asr_root = os.path.join(args.workdir, "libri_synth")
+        if not os.path.isdir(os.path.join(asr_root, "text")):
+            print("generating ASR dataset...", flush=True)
+            make_asr_dataset(asr_root)
+        cfg_path = os.path.join(args.workdir, "pre.cfg")
+        with open(cfg_path, "w") as f:
+            f.write(
+                CFG.format(folder=os.path.join(args.workdir, "pre_exp"),
+                           slu_path="unused", epochs=args.epochs)
+                .replace("asr_path=unused", f"asr_path={asr_root}")
+                .replace("pretraining_type=0", "pretraining_type=2")
+                .replace("vocabulary_size=10000", "vocabulary_size=30")
+            )
+        from tpu_slu import read_config
+
+        config = read_config(cfg_path)
+        config.pretraining_num_epochs = args.epochs
+        np.random.seed(config.seed)
+        train, valid, _ = get_ASR_datasets(config)
+        model = PretrainedModel(config)
+        trainer = Trainer(model, config)
+        import contextlib
+        import io
+
+        for epoch in range(args.epochs):
+            with contextlib.redirect_stdout(io.StringIO()):
+                pa, pl_, wa, wl = trainer.train(train)
+                vpa, vpl, vwa, vwl = trainer.test(valid)
+            row = trainer._rows[-2]
+            print(
+                f"epoch {epoch}: phone acc={pa:.3f}/{vpa:.3f} word acc={wa:.3f}/{vwa:.3f} "
+                f"({row.get('examples_per_sec', 0):.0f} ex/s, "
+                f"p50 step {row.get('step_ms_p50', 0):.1f} ms)",
+                flush=True,
+            )
+        trainer.save_checkpoint()
+        return
+
     slu_root = os.path.join(args.workdir, "fsc_synth")
     if not os.path.isfile(os.path.join(slu_root, "data", "train_data.csv")):
         print("generating dataset...", flush=True)
