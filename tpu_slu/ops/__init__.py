@@ -6,7 +6,7 @@ and the cuDNN GRU/conv kernels it inherits from PyTorch.
 
 from tpu_slu.ops.sinc import sinc_filters, sinc_conv
 from tpu_slu.ops.conv import conv1d, max_pool1d_ceil, avg_pool1d_ceil, downsample, leaky_relu
-from tpu_slu.ops.gru import GRUParams, gru_init, gru_apply, bigru_apply, gru_cell_step
+from tpu_slu.ops.gru import GRUParams, gru_init, gru_apply, gru_cell_step, resolve_gru_impl
 
 __all__ = [
     "sinc_filters",
@@ -19,6 +19,6 @@ __all__ = [
     "GRUParams",
     "gru_init",
     "gru_apply",
-    "bigru_apply",
+    "resolve_gru_impl",
     "gru_cell_step",
 ]

@@ -132,7 +132,3 @@ def gru_apply(params: GRUParams, x, impl: str = "scan"):
     out_b = _gru_scan(params["bwd"], x, reverse=True)
     return jnp.concatenate([out_f, out_b], axis=-1)
 
-
-def bigru_apply(params: GRUParams, x, impl: str = "scan"):
-    """Alias used by model code where bidirectionality is config-driven."""
-    return gru_apply(params, x, impl=impl)

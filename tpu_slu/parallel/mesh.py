@@ -62,16 +62,6 @@ def param_shardings(mesh: Mesh, params: dict, shard_vocab_heads: bool = True):
     if not shard_vocab_heads or model_size <= 1:
         return shardings
 
-    def maybe_shard_linear(tree, sub):
-        if sub not in tree:
-            return
-        w = tree[sub]["w"]
-        if w.shape[-1] % model_size == 0:
-            shardings[sub] = {
-                "w": NamedSharding(mesh, P(None, MODEL_AXIS)),
-                "b": NamedSharding(mesh, P(MODEL_AXIS)),
-            }
-
     # PretrainedModel params at top level; Model params nest them.
     root = params.get("pretrained_model", params)
     root_shardings = shardings.get("pretrained_model", shardings)
@@ -83,7 +73,6 @@ def param_shardings(mesh: Mesh, params: dict, shard_vocab_heads: bool = True):
                     "w": NamedSharding(mesh, P(None, MODEL_AXIS)),
                     "b": NamedSharding(mesh, P(MODEL_AXIS)),
                 }
-    del maybe_shard_linear
     return shardings
 
 
