@@ -1,5 +1,8 @@
 """Checkpoint I/O: npz + orbax backends, loader process sharding."""
 
+import os
+
+import jax
 import numpy as np
 import pytest
 
@@ -48,6 +51,37 @@ class TestOrbax:
         ckpt.save(path, tree, backend="orbax")
         out = ckpt.load(path, tree, backend="orbax")
         assert ckpt.tree_equal(tree, out)
+
+
+class TestCorruptCheckpoint:
+    def test_trainer_falls_back_to_scratch(self, tmp_path, capsys):
+        """Corrupt checkpoint -> 'starting from scratch' (reference
+        training.py:23-33 swallows load errors the same way)."""
+        from tests import fixtures
+        from tpu_slu import read_config
+        from tpu_slu.data.datasets import get_SLU_datasets
+        from tpu_slu.models import Model
+        from tpu_slu.training.trainer import Trainer
+
+        slu_root = fixtures.make_slu_dataset(str(tmp_path / "fsc"), n_train=8)
+        cfg = fixtures.write_cfg(
+            str(tmp_path / "exp.cfg"), folder=str(tmp_path / "exp"), slu_path=slu_root
+        )
+        config = read_config(cfg)
+        fixtures.write_phonemes_txt(config.folder)
+        get_SLU_datasets(config)
+        model = Model(config)
+        trainer = Trainer(model, config)
+        path = os.path.join(config.folder, "training", "model_state.npz")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(b"definitely not an npz")
+        before = [np.asarray(x).copy() for x in jax.tree.leaves(model.params)]
+        trainer.load_checkpoint()
+        out = capsys.readouterr().out
+        assert "starting from scratch" in out
+        for a, b in zip(before, jax.tree.leaves(model.params)):
+            np.testing.assert_array_equal(a, np.asarray(b))
 
 
 class TestProcessSharding:
