@@ -59,13 +59,21 @@ def make_dataset(root, n_train, n_valid, n_test, seed=0):
             write_wav(os.path.join(root, rel), x, FS)
             out.append({"path": rel, "speakerId": f"s{i % 16}",
                         "transcription": f"{a} {o} {l}",
-                        "action": a, "object": o, "location": l})
+                        "action": a, "object": o, "location": l,
+                        # short digit-coded semantics keep the exact-match
+                        # metric achievable in a few demo epochs
+                        "semantics": f"{a[3:]}|{o[3:]}|{l[3:]}"})
         return pd.DataFrame(out)
 
     cols = ["path", "speakerId", "transcription", "action", "object", "location"]
+    s2s_cols = ["path", "speakerId", "transcription", "semantics"]
     for split, n in (("train", n_train), ("valid", n_valid), ("test", n_test)):
-        rows(n, split)[cols].to_csv(os.path.join(root, "data", f"{split}_data.csv"), index=False)
+        df = rows(n, split)
+        df[cols].to_csv(os.path.join(root, "data", f"{split}_data.csv"), index=False)
+        df[s2s_cols].to_csv(os.path.join(root, "data", f"{split}_data_seq2seq.csv"), index=False)
     pd.DataFrame(columns=cols).to_csv(os.path.join(root, "data", "synthetic_data.csv"), index=False)
+    pd.DataFrame(columns=s2s_cols).to_csv(
+        os.path.join(root, "data", "synthetic_data_seq2seq.csv"), index=False)
     return root
 
 
@@ -102,6 +110,12 @@ intent_downsample_len=1
 intent_downsample_type=none
 intent_rnn_drop=0.5
 intent_rnn_bidirectional=True
+intent_encoder_dim=128
+num_intent_encoder_layers=1
+intent_decoder_dim=256
+num_intent_decoder_layers=2
+intent_decoder_key_dim=128
+intent_decoder_value_dim=256
 
 [pretraining]
 asr_path=unused
@@ -172,6 +186,8 @@ def main():
     parser.add_argument("--workdir", type=str, default="/tmp/tpu_slu_synth")
     parser.add_argument("--pretrain", action="store_true",
                         help="run the ASR dual-head pretraining demo instead")
+    parser.add_argument("--seq2seq", action="store_true",
+                        help="run the seq2seq (char decoder + beam search) demo")
     args = parser.parse_args()
 
     import jax
@@ -232,19 +248,26 @@ def main():
         return
 
     slu_root = os.path.join(args.workdir, "fsc_synth")
-    if not os.path.isfile(os.path.join(slu_root, "data", "train_data.csv")):
+    if not os.path.isfile(os.path.join(slu_root, "data", "train_data_seq2seq.csv")):
         print("generating dataset...", flush=True)
         make_dataset(slu_root, args.n_train, 256, 256)
-    cfg_path = os.path.join(args.workdir, "exp.cfg")
+    name = "s2s_exp" if args.seq2seq else "exp"
+    cfg_path = os.path.join(args.workdir, f"{name}.cfg")
     with open(cfg_path, "w") as f:
-        f.write(CFG.format(folder=os.path.join(args.workdir, "exp"),
-                           slu_path=slu_root, epochs=args.epochs))
+        cfg_text = CFG.format(folder=os.path.join(args.workdir, name),
+                              slu_path=slu_root, epochs=args.epochs)
+        if args.seq2seq:
+            cfg_text += "seq2seq=True\n"
+            cfg_text = cfg_text.replace("training_lr=0.001", "training_lr=0.0005")
+        f.write(cfg_text)
     config = read_config(cfg_path)
     os.makedirs(os.path.join(config.folder, "pretraining"), exist_ok=True)
     with open(os.path.join(config.folder, "pretraining", "phonemes.txt"), "w") as f:
         f.writelines(f"P{i}\n" for i in range(42))
 
     np.random.seed(config.seed)
+    if args.seq2seq:
+        config.seq2seq_max_decode_len = 32  # synthetic semantics are short
     train, valid, test = get_SLU_datasets(config)
     model = Model(config)
     trainer = Trainer(model, config)
@@ -258,7 +281,8 @@ def main():
         row = trainer._rows[-2]
         print(
             f"epoch {epoch}: train acc={acc:.3f} loss={loss:.3f} "
-            f"valid acc={vacc:.3f} ({row.get('examples_per_sec', 0):.0f} ex/s, "
+            f"valid acc={vacc:.3f} vloss={vloss:.3f} "
+            f"({row.get('examples_per_sec', 0):.0f} ex/s, "
             f"p50 step {row.get('step_ms_p50', 0):.1f} ms)",
             flush=True,
         )

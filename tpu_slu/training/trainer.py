@@ -418,12 +418,14 @@ class Trainer:
             total_acc = total_acc + acc * bs
             if self.model.seq2seq and self.epoch > 1:
                 # String-exact-match accuracy via beam decode
-                # (reference training.py:158-165)
+                # (reference training.py:158-165). Decode the full padded
+                # batch (one compiled shape per bucket) and slice the strings.
                 n_real = int(bs)
-                guesses = np.array(self.model.decode_intents(batch["x"][:n_real]))
+                guesses = np.array(self.model.decode_intents(batch["x"])[:n_real])
+                y_host = np.asarray(batch["y_intent"][:n_real])
                 truths = np.array(
                     [
-                        self.model.one_hot_to_string(batch["y_intent"][i], self.model.Sy_intent)
+                        self.model.one_hot_to_string(y_host[i], self.model.Sy_intent)
                         for i in range(n_real)
                     ]
                 )
