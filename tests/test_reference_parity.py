@@ -139,6 +139,39 @@ class TestAgainstReferenceImplementation:
         got_loss, _ = ours.forward(x, y)
         np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.slow
+    def test_beam_search_parity(self, ref_models, tmp_path, rng):
+        """Our jitted beam search decodes the same strings (and scores) as the
+        reference's Python-loop beam search on shared weights."""
+        from tpu_slu.models.torch_import import export_model_state_dict
+
+        path = fixtures.write_cfg(str(tmp_path / "s.cfg"), folder=str(tmp_path / "exp"),
+                                  seq2seq=True)
+        config = read_config(path)
+        config.num_phonemes = 5
+        config.Sy_intent = ["<sos>", "a", "b", "c", "<eos>"]
+        config.seq2seq_max_decode_len = 200  # reference true_U
+        ours = slu_mod.Model(config)
+        state = export_model_state_dict(
+            ours.params, ours.encoder_arch, seq2seq_arch=ours.seq2seq_arch
+        )
+        ref_model = ref_models.Model(config)
+        ref_model.load_state_dict(state)
+        ref_model.eval()
+
+        x = rng.standard_normal((2, 9000), dtype=np.float32)
+        with torch.no_grad():
+            ref_scores, ref_beam = ref_model.predict_intents(torch.from_numpy(x))
+        ref_strings = ref_model.decode_intents(torch.from_numpy(x))
+
+        got_scores, got_tokens = ours.predict_intents(x)
+        got_strings = ours.decode_intents(x)
+
+        assert got_strings == ref_strings
+        np.testing.assert_allclose(
+            np.asarray(got_scores)[0], ref_scores.numpy()[0], rtol=1e-3, atol=1e-3
+        )
+
     def test_torch_saved_checkpoint_roundtrip(self, ref_models, config, tmp_path, rng):
         """torch.save a reference model's state_dict -> our importer loads it
         and reproduces the reference's features (the real .pth flow)."""
