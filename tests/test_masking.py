@@ -100,3 +100,22 @@ def test_attention_mask(rng):
     # context must equal attention over only the first 5 frames
     ctx_trunc = attend(params, jnp.asarray(enc_states[:, :5]), jnp.asarray(dec_state))
     np.testing.assert_allclose(np.asarray(ctx_masked), np.asarray(ctx_trunc), rtol=1e-5, atol=1e-6)
+
+
+def test_predict_intents_bucket_mode(config, rng):
+    """bucket=True pads to the 8000-sample boundary, masks the pad frames,
+    and stays close to exact mode (backward-direction GRU states over the
+    padding make it approximate; an untrained model's near-chance logits can
+    still flip an argmax, so we check logits, not strings)."""
+    model = slu_mod.Model(config)
+    x = rng.standard_normal(7200).astype(np.float32) * 0.1
+    exact_logits, _ = model.predict_intents(x)
+    bucket_logits, _ = model.predict_intents(x, bucket=True)
+    a = np.asarray(exact_logits).ravel()
+    b = np.asarray(bucket_logits).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.95
+    # same input at an exact bucket boundary: identical results
+    x2 = rng.standard_normal(8000).astype(np.float32) * 0.1
+    e2, _ = model.predict_intents(x2)
+    b2, _ = model.predict_intents(x2, bucket=True)
+    np.testing.assert_array_equal(np.asarray(e2), np.asarray(b2))

@@ -428,6 +428,8 @@ class Model:
         earch = self.encoder_arch
         impl = resolve_gru_impl(self.config)
 
+        mask_padding = getattr(self.config, "mask_padding", True)
+
         if not self.seq2seq:
             iarch = self.intent_arch
 
@@ -436,9 +438,15 @@ class Model:
                 logits = intent_logits(params["intent_layers"], iarch, feats, gru_impl=impl)
                 return intent_loss_acc(logits, y_intent, iarch.values_per_slot)
 
-            def predict(params, x):
+            def predict(params, x, lengths):
                 feats = enc.encoder_features(params["pretrained_model"], earch, x, gru_impl=impl)
-                logits = intent_logits(params["intent_layers"], iarch, feats, gru_impl=impl)
+                fm = None
+                if mask_padding:
+                    t_out = enc.frames_through(iarch.layers, feats.shape[1])
+                    fm = frame_mask_from_lengths(earch, lengths, t_out, iarch)
+                logits = intent_logits(
+                    params["intent_layers"], iarch, feats, gru_impl=impl, frame_mask=fm
+                )
                 return logits, intent_predictions(logits, iarch.values_per_slot)
 
             self._jit_forward = jax.jit(fwd)
@@ -451,12 +459,18 @@ class Model:
                 log_p = seq2seq_log_prob(params, sarch, feats, y_onehot, gru_impl=impl)
                 return -log_p.mean(), jnp.zeros((), jnp.float32)
 
-            def infer(params, x, beam_width):
+            def infer(params, x, lengths, beam_width):
                 feats = enc.encoder_features(params["pretrained_model"], earch, x, gru_impl=impl)
-                return seq2seq_beam_infer(params, sarch, feats, beam_width, gru_impl=impl)
+                enc_mask = (
+                    frame_mask_from_lengths(earch, lengths, feats.shape[1])
+                    if mask_padding else None
+                )
+                return seq2seq_beam_infer(
+                    params, sarch, feats, beam_width, gru_impl=impl, enc_mask=enc_mask
+                )
 
             self._jit_forward = jax.jit(fwd)
-            self._jit_infer = jax.jit(infer, static_argnums=2)
+            self._jit_infer = jax.jit(infer, static_argnums=3)
 
     # -- reference API --------------------------------------------------------
 
@@ -468,17 +482,34 @@ class Model:
 
     __call__ = forward
 
-    def predict_intents(self, x):
-        x = jnp.asarray(x, jnp.float32)
+    def predict_intents(self, x, bucket: bool = False):
+        """Waveform(s) -> predictions.
+
+        Default is bit-exact reference behavior (one compiled shape per input
+        length). ``bucket=True`` zero-pads inputs up to a 0.5 s bucket
+        boundary with the padded frames masked out of the time-pool /
+        attention — arbitrary-length wavs then reuse a handful of compiled
+        shapes (production serving mode; backward-direction GRU states over
+        the padding make results approximately, not exactly, equal).
+        """
+        x = np.asarray(x, np.float32)
         if x.ndim == 1:
             x = x[None, :]
-        if not self.seq2seq:
-            return self._jit_predict(self.params, x)
-        return self._jit_infer(self.params, x, 4)
+        lengths = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
+        if bucket:
+            from tpu_slu.data.loader import pad_to_bucket
 
-    def decode_intents(self, x):
+            t_pad = pad_to_bucket(x.shape[1], 8000)
+            if t_pad != x.shape[1]:
+                x = np.pad(x, ((0, 0), (0, t_pad - x.shape[1])))
+        x = jnp.asarray(x)
+        if not self.seq2seq:
+            return self._jit_predict(self.params, x, lengths)
+        return self._jit_infer(self.params, x, lengths, 4)
+
+    def decode_intents(self, x, bucket: bool = False):
         """Waveform(s) -> intent strings (reference models.py:853-874)."""
-        _, predicted = self.predict_intents(x)
+        _, predicted = self.predict_intents(x, bucket=bucket)
         if not self.seq2seq:
             predicted = np.asarray(predicted)
             intents = []

@@ -139,6 +139,13 @@ class Trainer:
         if self.is_pretraining:
             arch = self.model.arch
             ptype = self.config.pretraining_type
+            if ptype not in (1, 2, 3):
+                # The reference crashes with an undefined `loss` here
+                # (training.py:61-63); fail with an actionable message.
+                raise ValueError(
+                    f"pretraining_type={ptype} has no pre-training loss; use "
+                    "1 (phoneme), 2 (phoneme+word) or 3 (word), or skip --pretrain"
+                )
 
             def train_step(params, opt_state, rng, batch):
                 def loss_fn(p):
