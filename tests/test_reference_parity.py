@@ -139,6 +139,58 @@ class TestAgainstReferenceImplementation:
         got_loss, _ = ours.forward(x, y)
         np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-4, atol=1e-5)
 
+    def test_conv_frontend_parity(self, ref_models, tmp_path, rng):
+        """use_sincnet=False: plain Conv1d front-end matches the reference."""
+        path = fixtures.write_cfg(str(tmp_path / "c.cfg"), folder=str(tmp_path / "exp"),
+                                  use_sincnet=False)
+        config = read_config(path)
+        config.num_phonemes = 5
+        arch = EncoderArch.from_config(config)
+        params = init_encoder_params(jax.random.PRNGKey(3), arch)
+        state = export_pretrained_state_dict(params, arch)
+        ref_model = ref_models.PretrainedModel(config)
+        ref_model.load_state_dict(state)
+        ref_model.eval()
+        x = rng.standard_normal((2, 8000), dtype=np.float32)
+        with torch.no_grad():
+            ref_feats = ref_model.compute_features(torch.from_numpy(x)).numpy()
+        got = np.asarray(enc.encoder_features(params, arch, jnp.asarray(x)))
+        np.testing.assert_allclose(got, ref_feats, rtol=1e-4, atol=2e-5)
+
+    def test_asr_loss_and_acc_parity(self, ref_models, config, rng):
+        """Full pre-training forward (CE with ignore_index, masked accs)
+        matches the reference's PretrainedModel.forward, for pretraining_type
+        2 (both heads) and 1 (word branch skipped)."""
+        arch = EncoderArch.from_config(config)
+        params = init_encoder_params(jax.random.PRNGKey(4), arch)
+        state = export_pretrained_state_dict(params, arch)
+
+        x = rng.standard_normal((2, 8000), dtype=np.float32)
+        yp = rng.integers(-1, config.num_phonemes, (2, 100)).astype(np.int64)
+        yw = rng.integers(-1, config.vocabulary_size, (2, 25)).astype(np.int64)
+
+        for ptype in (2, 1):
+            config.pretraining_type = ptype
+            arch_t = EncoderArch.from_config(config)
+            ref_model = ref_models.PretrainedModel(config)
+            ref_model.load_state_dict(state)
+            ref_model.eval()
+            with torch.no_grad():
+                r_pl, r_wl, r_pa, r_wa = ref_model(
+                    torch.from_numpy(x), torch.from_numpy(yp), torch.from_numpy(yw)
+                )
+            g_pl, g_wl, g_pa, g_wa = enc.encoder_loss(
+                params, arch_t, jnp.asarray(x), jnp.asarray(yp.astype(np.int32)),
+                jnp.asarray(yw.astype(np.int32)),
+            )
+            np.testing.assert_allclose(float(g_pl), float(r_pl), rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(float(g_pa), float(r_pa), rtol=1e-5)
+            if ptype == 2:
+                np.testing.assert_allclose(float(g_wl), float(r_wl), rtol=1e-4, atol=1e-5)
+                np.testing.assert_allclose(float(g_wa), float(r_wa), rtol=1e-5)
+            else:
+                assert float(g_wl) == 0.0 and float(g_wa) == 0.0
+
     @pytest.mark.slow
     def test_beam_search_parity(self, ref_models, tmp_path, rng):
         """Our jitted beam search decodes the same strings (and scores) as the
