@@ -254,3 +254,19 @@ class TestLoader:
             seen2.extend(batch)
         assert sorted(seen2) == list(range(10))
         assert seen2 != order1
+
+
+class TestLoaderErrors:
+    def test_worker_exception_propagates(self):
+        class DS:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                if i == 2:
+                    raise FileNotFoundError("missing wav")
+                return i
+
+        loader = BatchLoader(DS(), 2, collate=list, shuffle=False)
+        with pytest.raises(FileNotFoundError):
+            list(loader)

@@ -77,3 +77,14 @@ def test_grad_through_stacked_layers(rng):
     got = jax.grad(net("pallas"))((p1, p2), x)
     for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("B,T", [(1, 4), (1, TIME_BLOCK * 2 + 1), (3, 1)])
+def test_edge_shapes(rng, B, T):
+    """Tiny batch/length edges (sublane < 8, single step) stay correct."""
+    D, H = 6, 8
+    x = jnp.asarray(rng.standard_normal((B, T, D), dtype=np.float32))
+    params = ops.gru_init(jax.random.PRNGKey(5), D, H, bidirectional=True)
+    ref = ops.gru_apply(params, x, impl="scan")
+    got = gru_apply_pallas(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
