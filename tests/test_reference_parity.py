@@ -224,6 +224,45 @@ class TestAgainstReferenceImplementation:
             np.asarray(got_scores)[0], ref_scores.numpy()[0], rtol=1e-3, atol=1e-3
         )
 
+    @pytest.mark.slow
+    def test_train_here_deploy_in_reference(self, ref_models, tmp_path, rng):
+        """Full interop cycle: train with this framework, export the
+        checkpoint, load it into the REFERENCE implementation, and verify
+        both decode identical intents on fresh audio."""
+        import torch as _torch
+
+        from tests import fixtures
+        from tpu_slu.data.audio import read_wav
+        from tpu_slu.data.datasets import get_SLU_datasets
+        from tpu_slu.models.torch_import import export_model_state_dict
+        from tpu_slu.training.trainer import Trainer
+
+        slu_root = fixtures.make_slu_dataset(str(tmp_path / "fsc"), n_train=24)
+        cfg = fixtures.write_cfg(
+            str(tmp_path / "exp.cfg"), folder=str(tmp_path / "exp"), slu_path=slu_root
+        )
+        config = read_config(cfg)
+        fixtures.write_phonemes_txt(config.folder)
+        train, _, _ = get_SLU_datasets(config)
+        ours = slu_mod.Model(config)
+        trainer = Trainer(ours, config)
+        trainer.train(train)  # one epoch is enough: we compare, not converge
+
+        pth = str(tmp_path / "model_state.pth")
+        _torch.save(
+            export_model_state_dict(ours.params, ours.encoder_arch, ours.intent_arch), pth
+        )
+        ref_model = ref_models.Model(config)
+        ref_model.load_state_dict(_torch.load(pth))
+        ref_model.eval()
+
+        for i in range(4):
+            wav, _ = read_wav(os.path.join(slu_root, train.df.loc[i].path))
+            ours_decode = ours.decode_intents(wav[None, :])
+            with torch.no_grad():
+                ref_decode = ref_model.decode_intents(_torch.from_numpy(wav[None, :]))
+            assert [list(x) for x in ref_decode] == [list(x) for x in ours_decode]
+
     def test_torch_saved_checkpoint_roundtrip(self, ref_models, config, tmp_path, rng):
         """torch.save a reference model's state_dict -> our importer loads it
         and reproduces the reference's features (the real .pth flow)."""
