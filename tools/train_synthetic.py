@@ -188,6 +188,8 @@ def main():
                         help="run the ASR dual-head pretraining demo instead")
     parser.add_argument("--seq2seq", action="store_true",
                         help="run the seq2seq (char decoder + beam search) demo")
+    parser.add_argument("--restart", action="store_true",
+                        help="resume from the phase checkpoint (incl. optimizer state)")
     args = parser.parse_args()
 
     import jax
@@ -271,6 +273,9 @@ def main():
     train, valid, test = get_SLU_datasets(config)
     model = Model(config)
     trainer = Trainer(model, config)
+    if args.restart:
+        trainer.load_checkpoint()
+        print(f"resumed at epoch {trainer.epoch}", flush=True)
     import contextlib
     import io
 
