@@ -191,6 +191,19 @@ def main():
         lat.append(time.time() - t0)
     p50_ms = float(np.percentile(lat, 50) * 1000)
 
+    # device-only decode latency (slope): wall p50 above includes the host
+    # RPC round-trip, which a co-located server does not pay
+    def drun(k):
+        t0 = time.time()
+        for _ in range(k):
+            out = decode(model.params, x1)
+        np.asarray(out[0])
+        return time.time() - t0
+
+    d1 = min(drun(1) for _ in range(3))
+    dk = min(drun(41) for _ in range(2))
+    decode_device_ms = max((dk - d1) / 40, 1e-6) * 1000
+
     baseline = measure_torch_baseline() if args.measure_baseline else TORCH_CPU_BASELINE_UTT_S
 
     # HBM-bandwidth roofline (the BASELINE.json north-star framing): achieved
@@ -210,6 +223,7 @@ def main():
                 "hbm_roofline_frac": round(roofline_frac, 3),
                 "achieved_gbps": round(achieved_gbps, 1),
                 "p50_decode_ms": round(p50_ms, 1),
+                "decode_device_ms": round(decode_device_ms, 3),
                 "gru_impl": gru_impl,
                 "dtype": args.dtype,
                 "ms_per_iter_device": round(dt * 1000, 3),
