@@ -157,6 +157,43 @@ class TestAgainstReferenceImplementation:
         got = np.asarray(enc.encoder_features(params, arch, jnp.asarray(x)))
         np.testing.assert_allclose(got, ref_feats, rtol=1e-4, atol=2e-5)
 
+    @pytest.mark.parametrize(
+        "variant",
+        ["unidirectional", "max_downsample", "relu_act"],
+    )
+    def test_config_variants_parity(self, ref_models, tmp_path, rng, variant):
+        """Less-traveled config axes match the reference: unidirectional
+        RNNs, max-pool time downsampling, relu conv activations."""
+        replace = {
+            "unidirectional": {
+                "phone_rnn_bidirectional=True": "phone_rnn_bidirectional=False",
+                "word_rnn_bidirectional=True": "word_rnn_bidirectional=False",
+            },
+            "max_downsample": {
+                "phone_downsample_type=avg,avg": "phone_downsample_type=max,none",
+                "word_downsample_type=avg,avg": "word_downsample_type=none,max",
+            },
+            "relu_act": {
+                "cnn_act=leaky_relu,leaky_relu": "cnn_act=relu,relu",
+            },
+        }[variant]
+        path = fixtures.write_cfg(str(tmp_path / "v.cfg"), folder=str(tmp_path / "exp"),
+                                  replace=replace)
+        config = read_config(path)
+        config.num_phonemes = 5
+        arch = EncoderArch.from_config(config)
+        params = init_encoder_params(jax.random.PRNGKey(6), arch)
+        state = export_pretrained_state_dict(params, arch)
+        ref_model = ref_models.PretrainedModel(config)
+        ref_model.load_state_dict(state)
+        ref_model.eval()
+        x = rng.standard_normal((2, 8000), dtype=np.float32)
+        with torch.no_grad():
+            ref_feats = ref_model.compute_features(torch.from_numpy(x)).numpy()
+        got = np.asarray(enc.encoder_features(params, arch, jnp.asarray(x)))
+        assert got.shape == ref_feats.shape
+        np.testing.assert_allclose(got, ref_feats, rtol=1e-4, atol=2e-5)
+
     def test_asr_loss_and_acc_parity(self, ref_models, config, rng):
         """Full pre-training forward (CE with ignore_index, masked accs)
         matches the reference's PretrainedModel.forward, for pretraining_type
