@@ -185,6 +185,24 @@ class TestCLI:
         assert proc.returncode == 0, proc.stderr[-2000:]
         assert "activate" in proc.stdout or "deactivate" in proc.stdout
 
+    def test_main_pretrain_smoke(self, tmp_path, asr_root):
+        folder = str(tmp_path / "exp")
+        cfg = fixtures.write_cfg(
+            str(tmp_path / "exp.cfg"), folder=folder, asr_path=asr_root,
+            pretraining_type=2,
+            replace={"pretraining_num_epochs=2": "pretraining_num_epochs=1"},
+        )
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "main.py"), "--pretrain",
+             f"--config_path={cfg}"],
+            capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "*phonemes*" in proc.stdout and "*words*" in proc.stdout
+        assert os.path.isfile(os.path.join(folder, "pretraining", "model_state.npz"))
+        assert os.path.isfile(os.path.join(folder, "pretraining", "phonemes.txt"))
+
     def test_main_train_smoke(self, tmp_path, slu_root):
         folder = str(tmp_path / "exp")
         cfg = fixtures.write_cfg(
