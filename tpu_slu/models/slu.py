@@ -482,7 +482,7 @@ class Model:
 
     __call__ = forward
 
-    def predict_intents(self, x, bucket: bool = False):
+    def predict_intents(self, x, bucket: bool = False, beam_width: int = 4):
         """Waveform(s) -> predictions.
 
         Default is bit-exact reference behavior (one compiled shape per input
@@ -505,7 +505,9 @@ class Model:
         x = jnp.asarray(x)
         if not self.seq2seq:
             return self._jit_predict(self.params, x, lengths)
-        return self._jit_infer(self.params, x, lengths, 4)
+        # beam_width=4 matches the reference default (models.py:850);
+        # beam_width=1 is greedy decoding.
+        return self._jit_infer(self.params, x, lengths, beam_width)
 
     def decode_intents(self, x, bucket: bool = False):
         """Waveform(s) -> intent strings (reference models.py:853-874)."""
