@@ -78,3 +78,21 @@ def test_bf16_training_cfg(tmp_path):
     trainer = Trainer(model, config)
     acc, loss = trainer.train(train)
     assert np.isfinite(loss)
+
+
+def test_bf16_unidirectional_grads(rng):
+    """Unidirectional path: bf16 gate-stream cotangents match the primal
+    dtype (regression for the custom-VJP dtype contract)."""
+    B, T, D, H = 2, 12, 6, 8
+    x = jnp.asarray(rng.standard_normal((B, T, D), dtype=np.float32))
+    params = ops.gru_init(jax.random.PRNGKey(7), D, H, bidirectional=False)
+
+    def loss(p):
+        out = gru_apply_pallas(p, x.astype(jnp.bfloat16))
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss)(params)
+    ref = jax.grad(lambda p: jnp.sum(gru_apply_pallas(p, x) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(grads)):
+        assert np.isfinite(np.asarray(b)).all()
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0.15, atol=0.05)

@@ -395,12 +395,13 @@ def _gru_seq_bwd(res, dY):
     Tp, B, _ = gi.shape
     H = h_seq.shape[-1]
     # h_{t-1} stream with the padded tail zeroed (see module docstring).
-    hprev = jnp.concatenate([jnp.zeros((1, B, H), jnp.float32), h_seq[:-1]], axis=0)
+    hprev = jnp.concatenate([jnp.zeros((1, B, H), h_seq.dtype), h_seq[:-1]], axis=0)
     gi_f = jnp.flip(gi, axis=0)
     hprev_f = jnp.flip(hprev, axis=0)
     dy_f = jnp.flip(dY, axis=0)
     dgi_f, dw, db = _bwd_call(gi_f, hprev_f, dy_f, w_hh, b_hh[None, :])
-    return jnp.flip(dgi_f, axis=0), dw, db[0]
+    # cotangent dtype must match the (possibly bf16) primal gate stream
+    return jnp.flip(dgi_f, axis=0).astype(gi.dtype), dw, db[0]
 
 
 _gru_seq.defvjp(_gru_seq_fwd, _gru_seq_bwd)
