@@ -260,7 +260,7 @@ def main():
                               slu_path=slu_root, epochs=args.epochs)
         if args.seq2seq:
             cfg_text += "seq2seq=True\n"
-            pass  # keep training_lr=0.001 (clipped grads make it stable)
+            cfg_text = cfg_text.replace("training_lr=0.001", "training_lr=0.0005")
         f.write(cfg_text)
     config = read_config(cfg_path)
     os.makedirs(os.path.join(config.folder, "pretraining"), exist_ok=True)
