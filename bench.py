@@ -117,7 +117,8 @@ def main():
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--seconds", type=float, default=4.0)
     parser.add_argument("--iters", type=int, default=100)
-    parser.add_argument("--gru-impl", choices=["auto", "scan", "pallas"], default="auto")
+    parser.add_argument("--gru-impl", default="auto",
+                        help="auto | scan | pallas | pallas:<time_block>")
     parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
     parser.add_argument("--measure-baseline", action="store_true")
     args = parser.parse_args()

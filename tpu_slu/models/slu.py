@@ -427,6 +427,11 @@ class Model:
 
         earch = self.encoder_arch
         impl = resolve_gru_impl(self.config)
+        # Optional knob: a different forward time block for inference-only
+        # traces (config infer_time_block). A/B on hardware showed no stable
+        # win over the training-tuned default, so it stays at TIME_BLOCK.
+        infer_tb = getattr(self.config, "infer_time_block", None)
+        impl_infer = f"pallas:{infer_tb}" if (impl == "pallas" and infer_tb) else impl
 
         mask_padding = getattr(self.config, "mask_padding", True)
 
@@ -439,13 +444,15 @@ class Model:
                 return intent_loss_acc(logits, y_intent, iarch.values_per_slot)
 
             def predict(params, x, lengths):
-                feats = enc.encoder_features(params["pretrained_model"], earch, x, gru_impl=impl)
+                feats = enc.encoder_features(
+                    params["pretrained_model"], earch, x, gru_impl=impl_infer
+                )
                 fm = None
                 if mask_padding:
                     t_out = enc.frames_through(iarch.layers, feats.shape[1])
                     fm = frame_mask_from_lengths(earch, lengths, t_out, iarch)
                 logits = intent_logits(
-                    params["intent_layers"], iarch, feats, gru_impl=impl, frame_mask=fm
+                    params["intent_layers"], iarch, feats, gru_impl=impl_infer, frame_mask=fm
                 )
                 return logits, intent_predictions(logits, iarch.values_per_slot)
 
@@ -460,13 +467,15 @@ class Model:
                 return -log_p.mean(), jnp.zeros((), jnp.float32)
 
             def infer(params, x, lengths, beam_width):
-                feats = enc.encoder_features(params["pretrained_model"], earch, x, gru_impl=impl)
+                feats = enc.encoder_features(
+                    params["pretrained_model"], earch, x, gru_impl=impl_infer
+                )
                 enc_mask = (
                     frame_mask_from_lengths(earch, lengths, feats.shape[1])
                     if mask_padding else None
                 )
                 return seq2seq_beam_infer(
-                    params, sarch, feats, beam_width, gru_impl=impl, enc_mask=enc_mask
+                    params, sarch, feats, beam_width, gru_impl=impl_infer, enc_mask=enc_mask
                 )
 
             self._jit_forward = jax.jit(fwd)

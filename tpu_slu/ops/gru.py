@@ -117,15 +117,17 @@ def gru_apply(params: GRUParams, x, impl: str = "scan"):
     """GRU over a batch of sequences. x: (B, T, D) -> (B, T, H or 2H).
 
     ``impl``: "scan" (pure XLA) or "pallas" (fused VMEM-resident cell; falls
-    back to scan on non-TPU backends).
+    back to scan on non-TPU backends). "pallas:N" overrides the forward time
+    block to N (e.g. "pallas:64" for inference-only traces).
     """
-    if impl == "pallas":
+    if impl.startswith("pallas"):
         import os
 
         from tpu_slu.ops.pallas_gru import gru_pallas_available, gru_apply_pallas
 
         if gru_pallas_available() or os.environ.get("TPU_SLU_PALLAS_INTERPRET"):
-            return gru_apply_pallas(params, x)
+            tb = int(impl.split(":", 1)[1]) if ":" in impl else None
+            return gru_apply_pallas(params, x, time_block=tb)
     out_f = _gru_scan(params["fwd"], x, reverse=False)
     if "bwd" not in params:
         return out_f

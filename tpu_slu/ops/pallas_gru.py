@@ -231,23 +231,24 @@ def _bidir_fwd_kernel(gif_ref, gib_ref, wf_ref, bf_ref, wb_ref, bb_ref,
     hb_ref[:] = hb
 
 
-def _bidir_fwd_call(gi_f, gi_b, w_f, b_f, w_b, b_b):
+def _bidir_fwd_call(gi_f, gi_b, w_f, b_f, w_b, b_b, tb=None):
     Tp, B, threeH = gi_f.shape
     H = threeH // 3
+    tb = tb or TIME_BLOCK
     dt = gi_f.dtype  # bf16 gate streams halve the dominant HBM traffic
     stream = lambda i: (i, 0, 0)  # noqa: E731
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _bidir_fwd_kernel,
-        grid=(Tp // TIME_BLOCK,),
+        grid=(Tp // tb,),
         in_specs=[
-            pl.BlockSpec((TIME_BLOCK, B, threeH), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TIME_BLOCK, B, threeH), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, B, threeH), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, B, threeH), stream, memory_space=pltpu.VMEM),
             full, full, full, full,
         ],
         out_specs=[
-            pl.BlockSpec((TIME_BLOCK, B, H), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TIME_BLOCK, B, H), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, B, H), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, B, H), stream, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Tp, B, H), dt),
@@ -340,38 +341,52 @@ def _bidir_bwd_call(gi_f, gi_b, hp_f, hp_b, dy_f, dy_b, w_f, b_f, w_b, b_b):
       w_f.astype(dt), w_f.T.astype(dt), b_f, w_b.astype(dt), w_b.T.astype(dt), b_b)
 
 
-@jax.custom_vjp
-def _bigru_seq(gi_f, gi_b, w_f, b_f, w_b, b_b):
-    """Joint bidirectional GRU over processing-order gate streams.
+_BIGRU_CACHE: dict = {}
 
-    gi_f: forward gates (Tp, B, 3H); gi_b: backward gates, ALREADY
-    time-flipped to processing order. Returns (h_f, h_b) in processing order.
+
+def _bigru_seq_for(tb: int):
+    """Block-size-keyed joint-bidirectional GRU with custom VJP.
+
+    The forward block size is a trace-time constant: training uses
+    TIME_BLOCK (tuned with the backward kernel in mind), inference-only
+    traces can use a larger block (fewer grid iterations; the backward
+    kernel keeps its own BWD_TIME_BLOCK regardless).
     """
-    return tuple(_bidir_fwd_call(gi_f, gi_b, w_f, b_f[None, :], w_b, b_b[None, :]))
+    if tb in _BIGRU_CACHE:
+        return _BIGRU_CACHE[tb]
 
+    @jax.custom_vjp
+    def _bigru_seq(gi_f, gi_b, w_f, b_f, w_b, b_b):
+        """Joint bidirectional GRU over processing-order gate streams.
 
-def _bigru_seq_fwd(gi_f, gi_b, w_f, b_f, w_b, b_b):
-    h_f, h_b = _bidir_fwd_call(gi_f, gi_b, w_f, b_f[None, :], w_b, b_b[None, :])
-    return (h_f, h_b), (gi_f, gi_b, h_f, h_b, w_f, b_f, w_b, b_b)
+        gi_f: forward gates (Tp, B, 3H); gi_b: backward gates, ALREADY
+        time-flipped to processing order. Returns (h_f, h_b) in processing
+        order.
+        """
+        return tuple(_bidir_fwd_call(gi_f, gi_b, w_f, b_f[None, :], w_b, b_b[None, :], tb))
 
+    def _bigru_seq_fwd(gi_f, gi_b, w_f, b_f, w_b, b_b):
+        h_f, h_b = _bidir_fwd_call(gi_f, gi_b, w_f, b_f[None, :], w_b, b_b[None, :], tb)
+        return (h_f, h_b), (gi_f, gi_b, h_f, h_b, w_f, b_f, w_b, b_b)
 
-def _bigru_seq_bwd(res, dY):
-    gi_f, gi_b, h_f, h_b, w_f, b_f, w_b, b_b = res
-    dy_f, dy_b = dY
-    Tp, B, _ = gi_f.shape
-    H = h_f.shape[-1]
-    zero = jnp.zeros((1, B, H), h_f.dtype)
-    hp_f = jnp.concatenate([zero, h_f[:-1]], axis=0)
-    hp_b = jnp.concatenate([zero, h_b[:-1]], axis=0)
-    flip = lambda a: jnp.flip(a, axis=0)  # noqa: E731
-    dgi_f, dgi_b, dw_f, db_f, dw_b, db_b = _bidir_bwd_call(
-        flip(gi_f), flip(gi_b), flip(hp_f), flip(hp_b), flip(dy_f), flip(dy_b),
-        w_f, b_f[None, :], w_b, b_b[None, :],
-    )
-    return flip(dgi_f), flip(dgi_b), dw_f, db_f[0], dw_b, db_b[0]
+    def _bigru_seq_bwd(res, dY):
+        gi_f, gi_b, h_f, h_b, w_f, b_f, w_b, b_b = res
+        dy_f, dy_b = dY
+        Tp, B, _ = gi_f.shape
+        H = h_f.shape[-1]
+        zero = jnp.zeros((1, B, H), h_f.dtype)
+        hp_f = jnp.concatenate([zero, h_f[:-1]], axis=0)
+        hp_b = jnp.concatenate([zero, h_b[:-1]], axis=0)
+        flip = lambda a: jnp.flip(a, axis=0)  # noqa: E731
+        dgi_f, dgi_b, dw_f, db_f, dw_b, db_b = _bidir_bwd_call(
+            flip(gi_f), flip(gi_b), flip(hp_f), flip(hp_b), flip(dy_f), flip(dy_b),
+            w_f, b_f[None, :], w_b, b_b[None, :],
+        )
+        return flip(dgi_f), flip(dgi_b), dw_f, db_f[0], dw_b, db_b[0]
 
-
-_bigru_seq.defvjp(_bigru_seq_fwd, _bigru_seq_bwd)
+    _bigru_seq.defvjp(_bigru_seq_fwd, _bigru_seq_bwd)
+    _BIGRU_CACHE[tb] = _bigru_seq
+    return _bigru_seq
 
 
 # ---------------------------------------------------------------------------
@@ -447,24 +462,28 @@ def _gates(params_dir, x):
     return jnp.swapaxes(gi, 0, 1)
 
 
-def gru_apply_pallas(params, x):
+def gru_apply_pallas(params, x, time_block: int | None = None):
     """Bidirectional (or uni) GRU via the fused kernels. x: (B, T, D).
 
     Differentiable: gradients flow through the custom-VJP backward kernels.
     Bidirectional layers use the joint kernel (both directions stepped in the
-    same grid iteration).
+    same grid iteration). ``time_block`` overrides the forward grid block
+    (e.g. 64 for inference-only traces).
     """
     if "bwd" not in params:
         return _run_direction(params["fwd"], x, reverse=False)
+    tb = time_block or TIME_BLOCK
+    # padded length must satisfy both the fwd block and the bwd kernel block
+    quant = max(tb, BWD_TIME_BLOCK)
     B, T, _ = x.shape
     gi_f = _gates(params["fwd"], x)
     gi_b = jnp.flip(_gates(params["bwd"], x), axis=0)  # processing order
-    Tp = -(-T // TIME_BLOCK) * TIME_BLOCK
+    Tp = -(-T // quant) * quant
     if Tp != T:
         pad = ((0, Tp - T), (0, 0), (0, 0))
         gi_f = jnp.pad(gi_f, pad)
         gi_b = jnp.pad(gi_b, pad)
-    h_f, h_b = _bigru_seq(
+    h_f, h_b = _bigru_seq_for(tb)(
         gi_f, gi_b,
         params["fwd"]["w_hh"], params["fwd"]["b_hh"],
         params["bwd"]["w_hh"], params["bwd"]["b_hh"],
