@@ -168,9 +168,14 @@ def main():
         return time.time() - t0
 
     run(2)  # warmup
-    t1 = min(run(1) for _ in range(3))
-    tk = min(run(args.iters + 1) for _ in range(2))
-    dt = max((tk - t1) / args.iters, 1e-6)
+    # chip/relay timing noise is significant (~±20% across minutes); take the
+    # best of several interleaved slope estimates
+    estimates = []
+    for _ in range(3):
+        t1 = min(run(1) for _ in range(3))
+        tk = min(run(args.iters + 1) for _ in range(2))
+        estimates.append(max((tk - t1) / args.iters, 1e-6))
+    dt = min(estimates)
     utt_per_s = B / dt
 
     # p50 decode-path latency: single utterance, encoder + intent head + argmax
@@ -201,9 +206,12 @@ def main():
         np.asarray(out[0])
         return time.time() - t0
 
-    d1 = min(drun(1) for _ in range(3))
-    dk = min(drun(41) for _ in range(2))
-    decode_device_ms = max((dk - d1) / 40, 1e-6) * 1000
+    d_estimates = []
+    for _ in range(3):
+        d1 = min(drun(1) for _ in range(3))
+        dk = min(drun(41) for _ in range(2))
+        d_estimates.append(max((dk - d1) / 40, 1e-6) * 1000)
+    decode_device_ms = float(np.median(d_estimates))
 
     baseline = measure_torch_baseline() if args.measure_baseline else TORCH_CPU_BASELINE_UTT_S
 
