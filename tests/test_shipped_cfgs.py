@@ -1,0 +1,59 @@
+"""Our shipped experiments/*.cfg suite: every cfg parses and builds a Model."""
+
+import glob
+import os
+
+import pytest
+
+from tpu_slu import read_config
+from tpu_slu.models import Model
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CFGS = sorted(glob.glob(os.path.join(REPO, "experiments", "*.cfg")))
+
+
+def test_suite_present():
+    assert len(CFGS) >= 16
+
+
+@pytest.mark.parametrize("path", CFGS, ids=[os.path.basename(p) for p in CFGS])
+def test_cfg_builds_model(path, tmp_path):
+    config = read_config(path, make_dirs=False)
+    config.folder = str(tmp_path)  # don't touch the repo tree
+    # attach the dataset-derived fields get_*_datasets would provide
+    config.num_phonemes = 42
+    if config.seq2seq:
+        config.Sy_intent = ["<sos>"] + [chr(97 + i) for i in range(26)] + ["<eos>"]
+    else:
+        config.values_per_slot = [6, 14, 4]
+        config.Sy_intent = {
+            "action": {f"a{i}": i for i in range(6)},
+            "object": {f"o{i}": i for i in range(14)},
+            "location": {f"l{i}": i for i in range(4)},
+        }
+    model = Model(config, load_pretrained=False)
+    assert model.encoder_arch.word_feat_dim == 256
+    if config.seq2seq:
+        assert model.seq2seq_arch.num_labels == len(config.Sy_intent)
+    else:
+        assert sum(model.intent_arch.values_per_slot) == 24
+    # the ULMFiT schedule walks without error for every unfreezing_type
+    for _ in range(12):
+        model.unfreeze_one_layer()
+    model.trainable_mask()
+
+
+def test_regenerator_is_idempotent(tmp_path):
+    """tools/gen_experiments.py output matches the committed cfgs."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_experiments", os.path.join(REPO, "tools", "gen_experiments.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["gen_experiments"] = spec.loader is not None and mod or mod
+    spec.loader.exec_module(mod)
+    for name, text in mod.EXPERIMENTS.items():
+        committed = open(os.path.join(REPO, "experiments", f"{name}.cfg")).read()
+        assert committed == text, f"{name}.cfg drifted from the generator"
