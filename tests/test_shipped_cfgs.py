@@ -52,7 +52,7 @@ def test_regenerator_is_idempotent(tmp_path):
         "gen_experiments", os.path.join(REPO, "tools", "gen_experiments.py")
     )
     mod = importlib.util.module_from_spec(spec)
-    sys.modules["gen_experiments"] = spec.loader is not None and mod or mod
+    sys.modules["gen_experiments"] = mod
     spec.loader.exec_module(mod)
     for name, text in mod.EXPERIMENTS.items():
         committed = open(os.path.join(REPO, "experiments", f"{name}.cfg")).read()
