@@ -103,19 +103,91 @@ def test_attention_mask(rng):
 
 
 def test_predict_intents_bucket_mode(config, rng):
-    """bucket=True pads to the 8000-sample boundary, masks the pad frames,
-    and stays close to exact mode (backward-direction GRU states over the
-    padding make it approximate; an untrained model's near-chance logits can
-    still flip an argmax, so we check logits, not strings)."""
+    """bucket=True pads to the 8000-sample boundary and takes the
+    length-exact path: results equal the exact-shape run."""
     model = slu_mod.Model(config)
     x = rng.standard_normal(7200).astype(np.float32) * 0.1
     exact_logits, _ = model.predict_intents(x)
     bucket_logits, _ = model.predict_intents(x, bucket=True)
-    a = np.asarray(exact_logits).ravel()
-    b = np.asarray(bucket_logits).ravel()
-    assert np.corrcoef(a, b)[0, 1] > 0.95
+    np.testing.assert_allclose(
+        np.asarray(exact_logits), np.asarray(bucket_logits), rtol=0, atol=1e-5
+    )
     # same input at an exact bucket boundary: identical results
     x2 = rng.standard_normal(8000).astype(np.float32) * 0.1
     e2, _ = model.predict_intents(x2)
     b2, _ = model.predict_intents(x2, bucket=True)
-    np.testing.assert_array_equal(np.asarray(e2), np.asarray(b2))
+    np.testing.assert_allclose(np.asarray(e2), np.asarray(b2), rtol=0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Length-exact inference: bucket-padded mixed-length batches must reproduce
+# per-example exact-shape results bit-for-bit (VERDICT r1 missing #2).
+# ---------------------------------------------------------------------------
+
+MIXED_LENGTHS = (7200, 8000, 5111, 6400)
+
+
+def _padded_batch(rng, lengths, t_pad):
+    waves = [rng.standard_normal(t, dtype=np.float32) * 0.1 for t in lengths]
+    x = np.zeros((len(waves), t_pad), np.float32)
+    for i, w in enumerate(waves):
+        x[i, : len(w)] = w
+    return waves, x
+
+
+def test_encoder_features_length_exact(config, rng):
+    """encoder_features(lengths=) == per-example exact-shape features."""
+    arch = EncoderArch.from_config(config)
+    params = init_encoder_params(jax.random.PRNGKey(0), arch)
+    waves, x = _padded_batch(rng, MIXED_LENGTHS, 8000)
+    feats = np.asarray(
+        enc.encoder_features(
+            params, arch, jnp.asarray(x),
+            lengths=jnp.asarray(np.array(MIXED_LENGTHS, np.int32)),
+        )
+    )
+    for i, w in enumerate(waves):
+        ref = np.asarray(enc.encoder_features(params, arch, jnp.asarray(w[None, :])))
+        n_i = int(arch.num_frames(len(w)))
+        assert ref.shape[1] == n_i
+        np.testing.assert_allclose(feats[i, :n_i], ref[0], rtol=0, atol=1e-5)
+        # frames past the valid extent are exactly zero
+        np.testing.assert_array_equal(feats[i, n_i:], 0.0)
+
+
+def test_predict_intents_lengths_exact(config, rng):
+    """Fixed-intent head: batched lengths= decode == per-example decodes."""
+    model = slu_mod.Model(config)
+    waves, x = _padded_batch(rng, MIXED_LENGTHS, 8000)
+    logits, preds = model.predict_intents(
+        x, lengths=np.array(MIXED_LENGTHS, np.int32)
+    )
+    logits, preds = np.asarray(logits), np.asarray(preds)
+    for i, w in enumerate(waves):
+        ref_logits, ref_preds = model.predict_intents(w)
+        np.testing.assert_allclose(logits[i], np.asarray(ref_logits)[0], rtol=0, atol=1e-5)
+        np.testing.assert_array_equal(preds[i], np.asarray(ref_preds)[0])
+
+
+def test_seq2seq_decode_lengths_exact(tmp_path, rng):
+    """Seq2seq head: batched lengths= beam decode == per-example decodes."""
+    path = fixtures.write_cfg(
+        str(tmp_path / "s.cfg"), folder=str(tmp_path / "exp"), seq2seq=True
+    )
+    config = read_config(path)
+    config.num_phonemes = 5
+    config.Sy_intent = ["<sos>", "a", "b", "c", "<eos>"]
+    model = slu_mod.Model(config)
+    model.seq2seq_arch = model.seq2seq_arch.__class__(
+        **{**model.seq2seq_arch.__dict__, "max_decode_len": 6}
+    )
+    model._build_jits()
+    waves, x = _padded_batch(rng, MIXED_LENGTHS, 8000)
+    batched = model.decode_intents(x, lengths=np.array(MIXED_LENGTHS, np.int32))
+    scores, _ = model.predict_intents(x, lengths=np.array(MIXED_LENGTHS, np.int32))
+    scores = np.asarray(scores)
+    for i, w in enumerate(waves):
+        assert batched[i] == model.decode_intents(w)[0]
+        ref_scores, _ = model.predict_intents(w)
+        np.testing.assert_allclose(scores[:, i], np.asarray(ref_scores)[:, 0],
+                                   rtol=0, atol=1e-5)

@@ -233,27 +233,56 @@ def init_encoder_params(key, arch: EncoderArch) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _zero_time_tail(out, n, time_axis: int):
+    """Zero frames >= n_i along ``time_axis``. n: (B,) per-example counts."""
+    t = jnp.arange(out.shape[time_axis])
+    if time_axis == 2 or time_axis == -1:
+        mask = (t[None, :] < n[:, None])[:, None, :]
+    else:  # time_axis == 1
+        mask = (t[None, :] < n[:, None])[:, :, None]
+    return jnp.where(mask, out, 0.0)
+
+
 def _apply_stack(group_params, specs, out, *, train: bool, rng, gru_impl: str,
-                 compute_dtype=None):
+                 compute_dtype=None, n=None):
     """Run a LayerSpec stack. Conv specs take (B, C, T); RNN specs (B, T, C).
 
     ``compute_dtype`` (e.g. jnp.bfloat16) casts GRU-layer inputs so the
     Pallas kernels stream half-width gate tensors — the dominant HBM traffic.
     Hidden-state recurrence and losses stay float32.
+
+    ``n`` (B,) int32 enables the *length-exact* path: every op computes as if
+    each example were cropped to its own valid extent (samples entering the
+    conv stack, frames afterwards) — conv tails zeroed, ceil pools use the
+    per-example torch partial-window divisor, bi-GRUs run the backward
+    direction over the per-example-reversed prefix. Returns (out, rng, n_out)
+    with ``n_out`` the per-example valid frame count of ``out`` (None when
+    ``n`` is None).
     """
+    masked = n is not None
     for spec in specs:
         if spec.kind == "sinc":
             p = group_params[str(spec.index)]
             _, filt_dim, fs, stride, pad = spec.h
             out = sinc_conv(p["filt_b1"], p["filt_band"], out, filt_dim, fs, stride, pad)
+            if masked:
+                n = (n + 2 * pad - filt_dim) // stride + 1
+                out = _zero_time_tail(out, n, 2)
         elif spec.kind == "conv":
             p = group_params[str(spec.index)]
-            _, _, _, stride, pad = spec.h
+            _, _, k, stride, pad = spec.h
             out = ops.conv1d(out, p["w"], p["b"], stride=stride, padding=pad)
+            if masked:
+                n = (n + 2 * pad - k) // stride + 1
+                out = _zero_time_tail(out, n, 2)
         elif spec.kind == "abs":
             out = jnp.abs(out)
         elif spec.kind == "pool":
-            out = ops.max_pool1d_ceil(out, spec.h[0])
+            if masked and spec.h[0] > 1:
+                out = ops.masked_max_pool1d_ceil(out, spec.h[0], n)
+                n = -(-n // spec.h[0])
+            else:
+                out = ops.max_pool1d_ceil(out, spec.h[0])
         elif spec.kind == "act":
             out = ops.leaky_relu(out, 0.2) if spec.h[0] == "leaky_relu" else jax.nn.relu(out)
         elif spec.kind == "dropout":
@@ -267,56 +296,79 @@ def _apply_stack(group_params, specs, out, *, train: bool, rng, gru_impl: str,
         elif spec.kind == "gru":
             if compute_dtype is not None:
                 out = out.astype(compute_dtype)
-            out = ops.gru_apply(group_params[str(spec.index)], out, impl=gru_impl)
+            if masked:
+                out = ops.gru_apply_masked(group_params[str(spec.index)], out, n, impl=gru_impl)
+            else:
+                out = ops.gru_apply(group_params[str(spec.index)], out, impl=gru_impl)
         elif spec.kind == "select":
             pass  # gru_apply already returns the output sequence
         elif spec.kind == "downsample":
-            out = ops.downsample(out, spec.h[0], spec.h[1], time_axis=1)
+            method, factor = spec.h
+            if masked and factor > 1:
+                if method == "none":
+                    out = out[:, ::factor]
+                else:
+                    xt = jnp.swapaxes(out, 1, 2)
+                    pooled = (
+                        ops.masked_max_pool1d_ceil(xt, factor, n)
+                        if method == "max"
+                        else ops.masked_avg_pool1d_ceil(xt, factor, n)
+                    )
+                    out = jnp.swapaxes(pooled, 1, 2)
+                n = -(-n // factor)
+            else:
+                out = ops.downsample(out, method, factor, time_axis=1)
         else:
             raise ValueError(spec.kind)
-    return out, rng
+    return out, rng, n
 
 
 def encoder_phoneme_features(params, arch: EncoderArch, x, *, train=False, rng=None, gru_impl="scan",
-                     compute_dtype=None):
+                     compute_dtype=None, lengths=None):
     """x: (B, T) waveform -> (B, T/phone_ds, phoneme_feat_dim) @25 Hz."""
     out = x[:, None, :]
-    out, _ = _apply_stack(
+    out, _, _ = _apply_stack(
         params["phoneme_layers"], arch.phoneme_layers, out, train=train, rng=rng,
-        gru_impl=gru_impl, compute_dtype=compute_dtype,
+        gru_impl=gru_impl, compute_dtype=compute_dtype, n=lengths,
     )
     return out
 
 
 def encoder_features(params, arch: EncoderArch, x, *, train=False, rng=None, gru_impl="scan",
-                     compute_dtype=None):
+                     compute_dtype=None, lengths=None):
     """Full encoder: (B, T) waveform -> (B, T/word_ds, word_feat_dim) @6.25 Hz.
 
     Equivalent of reference ``PretrainedModel.compute_features`` (models.py:349-361).
+    ``lengths`` (B,) waveform sample counts selects the length-exact path: the
+    returned features match, frame for frame, what each example would produce
+    at its exact shape (padding never leaks into convs, pools, or either GRU
+    direction); frames past each example's valid count are zero.
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
     out = x[:, None, :]
-    out, rng = _apply_stack(
+    out, rng, n = _apply_stack(
         params["phoneme_layers"], arch.phoneme_layers, out, train=train, rng=rng,
-        gru_impl=gru_impl, compute_dtype=compute_dtype,
+        gru_impl=gru_impl, compute_dtype=compute_dtype, n=lengths,
     )
-    out, _ = _apply_stack(
+    out, _, _ = _apply_stack(
         params["word_layers"], arch.word_layers, out, train=train, rng=rng,
-        gru_impl=gru_impl, compute_dtype=compute_dtype,
+        gru_impl=gru_impl, compute_dtype=compute_dtype, n=n,
     )
     return out
 
 
-def encoder_posteriors(params, arch: EncoderArch, x, *, gru_impl="scan"):
+def encoder_posteriors(params, arch: EncoderArch, x, *, gru_impl="scan", lengths=None):
     """(phoneme_logits, word_logits) — reference ``compute_posteriors`` (models.py:333-347)."""
     out = x[:, None, :]
-    out, _ = _apply_stack(
-        params["phoneme_layers"], arch.phoneme_layers, out, train=False, rng=None, gru_impl=gru_impl
+    out, _, n = _apply_stack(
+        params["phoneme_layers"], arch.phoneme_layers, out, train=False, rng=None,
+        gru_impl=gru_impl, n=lengths,
     )
     phoneme_logits = out @ params["phoneme_linear"]["w"] + params["phoneme_linear"]["b"]
-    out, _ = _apply_stack(
-        params["word_layers"], arch.word_layers, out, train=False, rng=None, gru_impl=gru_impl
+    out, _, _ = _apply_stack(
+        params["word_layers"], arch.word_layers, out, train=False, rng=None,
+        gru_impl=gru_impl, n=n,
     )
     word_logits = out @ params["word_linear"]["w"] + params["word_linear"]["b"]
     return phoneme_logits, word_logits
@@ -351,7 +403,7 @@ def encoder_loss(params, arch: EncoderArch, x, y_phoneme, y_word, *, train=False
     if rng is None:
         rng = jax.random.PRNGKey(0)
     out = x[:, None, :]
-    out, rng = _apply_stack(
+    out, rng, _ = _apply_stack(
         params["phoneme_layers"], arch.phoneme_layers, out, train=train, rng=rng,
         gru_impl=gru_impl, compute_dtype=compute_dtype,
     )
@@ -365,7 +417,7 @@ def encoder_loss(params, arch: EncoderArch, x, y_phoneme, y_word, *, train=False
         zero = jnp.zeros((), jnp.float32)
         return phoneme_loss, zero, phoneme_acc, zero
 
-    out, _ = _apply_stack(
+    out, _, _ = _apply_stack(
         params["word_layers"], arch.word_layers, out, train=train, rng=rng,
         gru_impl=gru_impl, compute_dtype=compute_dtype,
     )

@@ -81,7 +81,7 @@ def init_intent_params(key, arch: IntentArch) -> dict:
 
 
 def intent_logits(params, arch: IntentArch, feats, *, train=False, rng=None, gru_impl="scan",
-                  frame_mask=None):
+                  frame_mask=None, n_frames=None):
     """feats: (B, T, C) encoder features -> (B, sum(values_per_slot)) logits.
 
     ``frame_mask`` (B, T_out) marks frames that come from real audio; padded
@@ -89,10 +89,20 @@ def intent_logits(params, arch: IntentArch, feats, *, train=False, rng=None, gru
     batch padding leak into its FinalPool, models.py:116-123 — with bucket
     padding that leak would be larger, so masking is on by default and
     disabled via config ``mask_padding=False`` for strict emulation.)
+
+    ``n_frames`` (B,) per-example valid feature frames selects the
+    *length-exact* path: the head's GRUs/downsamples compute as if each
+    example were cropped to its own length, and the final pool covers valid
+    frames only (clamped to >= 1 so all-padding batch-fill rows stay finite).
     """
-    out, _ = enc._apply_stack(params, arch.layers, feats, train=train, rng=rng, gru_impl=gru_impl)
+    out, _, n = enc._apply_stack(
+        params, arch.layers, feats, train=train, rng=rng, gru_impl=gru_impl, n=n_frames
+    )
     lin = params[str(arch.linear_index)]
     out = out @ lin["w"] + lin["b"]
+    if n is not None:
+        n = jnp.clip(n, 1, out.shape[1])
+        frame_mask = jnp.arange(out.shape[1])[None, :] < n[:, None]
     if frame_mask is not None:
         out = jnp.where(frame_mask[:, :, None], out, -jnp.inf)
     return jnp.max(out, axis=1)  # FinalPool: max over time (models.py:116-123)
@@ -208,11 +218,19 @@ def init_seq2seq_params(key, arch: Seq2SeqArch, in_dim: int) -> dict:
     }
 
 
-def seq2seq_encode(params, arch: Seq2SeqArch, feats, *, train=False, rng=None, gru_impl="scan"):
-    """Seq2SeqEncoder: N x [bi-GRU -> dropout 0.5] (models.py:386-411)."""
+def seq2seq_encode(params, arch: Seq2SeqArch, feats, *, train=False, rng=None, gru_impl="scan",
+                   n_frames=None):
+    """Seq2SeqEncoder: N x [bi-GRU -> dropout 0.5] (models.py:386-411).
+
+    ``n_frames`` (B,) valid feature frames selects the length-exact GRU path
+    (backward direction runs over the per-example-reversed valid prefix).
+    """
     out = feats
     for idx in range(arch.num_encoder_layers):
-        out = ops.gru_apply(params[str(3 * idx)], out, impl=gru_impl)
+        if n_frames is not None:
+            out = ops.gru_apply_masked(params[str(3 * idx)], out, n_frames, impl=gru_impl)
+        else:
+            out = ops.gru_apply(params[str(3 * idx)], out, impl=gru_impl)
         if train and rng is not None:
             rng, sub = jax.random.split(rng)
             keep = jax.random.bernoulli(sub, 0.5, out.shape)
@@ -277,9 +295,11 @@ def seq2seq_log_prob(params, arch: Seq2SeqArch, feats, y_onehot, *, train=False,
 
 
 def seq2seq_beam_infer(params, arch: Seq2SeqArch, feats, beam_width: int = 4, *, gru_impl="scan",
-                       enc_mask=None):
+                       enc_mask=None, n_frames=None):
     """Beam-search decode. Returns (scores (beam, B), tokens (beam, B, U))."""
-    enc_out = seq2seq_encode(params["encoder"], arch, feats, train=False, gru_impl=gru_impl)
+    enc_out = seq2seq_encode(
+        params["encoder"], arch, feats, train=False, gru_impl=gru_impl, n_frames=n_frames
+    )
     dec = params["decoder"]
     B = feats.shape[0]
     state0 = jnp.broadcast_to(dec["initial_state"][None], (B,) + dec["initial_state"].shape)
@@ -456,8 +476,22 @@ class Model:
                 )
                 return logits, intent_predictions(logits, iarch.values_per_slot)
 
+            def predict_exact(params, x, lengths):
+                # Length-exact path: per-example results are bit-equal to
+                # running each example at its exact shape (see
+                # encoder_features lengths= docs).
+                feats = enc.encoder_features(
+                    params["pretrained_model"], earch, x, gru_impl=impl_infer, lengths=lengths
+                )
+                logits = intent_logits(
+                    params["intent_layers"], iarch, feats, gru_impl=impl_infer,
+                    n_frames=earch.num_frames(lengths),
+                )
+                return logits, intent_predictions(logits, iarch.values_per_slot)
+
             self._jit_forward = jax.jit(fwd)
             self._jit_predict = jax.jit(predict)
+            self._jit_predict_exact = jax.jit(predict_exact)
         else:
             sarch = self.seq2seq_arch
 
@@ -478,8 +512,20 @@ class Model:
                     params, sarch, feats, beam_width, gru_impl=impl_infer, enc_mask=enc_mask
                 )
 
+            def infer_exact(params, x, lengths, beam_width):
+                feats = enc.encoder_features(
+                    params["pretrained_model"], earch, x, gru_impl=impl_infer, lengths=lengths
+                )
+                n = earch.num_frames(lengths)
+                enc_mask = frame_mask_from_lengths(earch, lengths, feats.shape[1])
+                return seq2seq_beam_infer(
+                    params, sarch, feats, beam_width, gru_impl=impl_infer,
+                    enc_mask=enc_mask, n_frames=n,
+                )
+
             self._jit_forward = jax.jit(fwd)
             self._jit_infer = jax.jit(infer, static_argnums=3)
+            self._jit_infer_exact = jax.jit(infer_exact, static_argnums=3)
 
     # -- reference API --------------------------------------------------------
 
@@ -491,36 +537,53 @@ class Model:
 
     __call__ = forward
 
-    def predict_intents(self, x, bucket: bool = False, beam_width: int = 4):
+    def predict_intents(self, x, bucket: bool = False, beam_width: int = 4, lengths=None):
         """Waveform(s) -> predictions.
 
         Default is bit-exact reference behavior (one compiled shape per input
-        length). ``bucket=True`` zero-pads inputs up to a 0.5 s bucket
-        boundary with the padded frames masked out of the time-pool /
-        attention — arbitrary-length wavs then reuse a handful of compiled
-        shapes (production serving mode; backward-direction GRU states over
-        the padding make results approximately, not exactly, equal).
+        length). Two padding-aware modes share the *length-exact* compiled
+        path (per-example results bit-equal to exact-shape runs — padding
+        never leaks into convs, pools, GRU directions, or attention):
+
+        * ``lengths=`` (B,) true sample counts for an already-padded batch
+          (e.g. a loader bucket batch; ``Trainer.test`` passes ``batch["len"]``).
+        * ``bucket=True`` zero-pads raw input(s) up to a 0.5 s bucket boundary
+          so arbitrary-length wavs reuse a handful of compiled shapes
+          (production serving mode).
         """
         x = np.asarray(x, np.float32)
         if x.ndim == 1:
             x = x[None, :]
-        lengths = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
+        exact = lengths is not None
+        if lengths is None:
+            lengths = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
+        else:
+            lengths = jnp.asarray(lengths, jnp.int32)
         if bucket:
             from tpu_slu.data.loader import pad_to_bucket
 
             t_pad = pad_to_bucket(x.shape[1], 8000)
             if t_pad != x.shape[1]:
                 x = np.pad(x, ((0, 0), (0, t_pad - x.shape[1])))
+            exact = True
+        if exact and not getattr(self.config, "mask_padding", True):
+            exact = False  # strict reference emulation: let padding leak
         x = jnp.asarray(x)
         if not self.seq2seq:
-            return self._jit_predict(self.params, x, lengths)
+            fn = self._jit_predict_exact if exact else self._jit_predict
+            return fn(self.params, x, lengths)
         # beam_width=4 matches the reference default (models.py:850);
         # beam_width=1 is greedy decoding.
-        return self._jit_infer(self.params, x, lengths, beam_width)
+        fn = self._jit_infer_exact if exact else self._jit_infer
+        return fn(self.params, x, lengths, beam_width)
 
-    def decode_intents(self, x, bucket: bool = False):
-        """Waveform(s) -> intent strings (reference models.py:853-874)."""
-        _, predicted = self.predict_intents(x, bucket=bucket)
+    def decode_intents(self, x, bucket: bool = False, lengths=None):
+        """Waveform(s) -> intent strings (reference models.py:853-874).
+
+        ``lengths=`` (B,) true sample counts enables the length-exact path
+        for padded batches (see ``predict_intents``).
+        """
+        _, predicted = self.predict_intents(x, bucket=bucket, lengths=lengths)
         if not self.seq2seq:
             predicted = np.asarray(predicted)
             intents = []

@@ -82,6 +82,49 @@ def avg_pool1d_ceil(x, k: int):
     return sums / counts
 
 
+def masked_max_pool1d_ceil(x, k: int, n):
+    """Length-aware ceil max-pool on (B, C, T); ``n`` (B,) = valid frames.
+
+    Bit-equal to running ``max_pool1d_ceil`` on each example cropped to its
+    own length: frames >= n_i are excluded (-inf) from every window and
+    output frames >= ceil(n_i/k) are zeroed.
+    """
+    if k == 1:
+        return x
+    t = jnp.arange(x.shape[-1])
+    xm = jnp.where((t[None, :] < n[:, None])[:, None, :], x, -jnp.inf)
+    out = max_pool1d_ceil(xm, k)
+    n_out = -(-n // k)
+    t_out = jnp.arange(out.shape[-1])
+    return jnp.where((t_out[None, :] < n_out[:, None])[:, None, :], out, 0.0)
+
+
+def masked_avg_pool1d_ceil(x, k: int, n):
+    """Length-aware ceil avg-pool on (B, C, T); ``n`` (B,) = valid frames.
+
+    Reproduces torch's partial-window divisor *per example*: each window's
+    sum is divided by its overlap with [0, n_i), exactly as an exact-shape
+    (T = n_i) ceil-mode avg_pool1d would.
+    """
+    if k == 1:
+        return x
+    t_in = x.shape[-1]
+    t = jnp.arange(t_in)
+    xm = jnp.where((t[None, :] < n[:, None])[:, None, :], x, 0.0)
+    pad = _ceil_pool_padding(t_in, k)
+    sums = lax.reduce_window(
+        xm,
+        0.0,
+        lax.add,
+        window_dimensions=(1, 1, k),
+        window_strides=(1, 1, k),
+        padding=((0, 0), (0, 0), (0, pad)),
+    )
+    m = jnp.arange(sums.shape[-1])
+    counts = jnp.clip(n[:, None] - m[None, :] * k, 0, k)  # (B, T_out)
+    return sums / jnp.maximum(counts, 1)[:, None, :].astype(x.dtype)
+
+
 def downsample(x, method: str, factor: int, time_axis: int = 1):
     """Time-axis decimation (reference ``Downsample``, models.py:26-46).
 

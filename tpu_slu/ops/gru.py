@@ -113,6 +113,38 @@ def resolve_gru_impl(config=None) -> str:
     return choice
 
 
+def reverse_padded(x, n):
+    """Per-example time reversal of the valid prefix. x: (B, T, C), n: (B,).
+
+    Row i becomes [x[i, n_i-1], ..., x[i, 0], 0, 0, ...] — the packed-sequence
+    reversal that makes a *forward* scan over the result equal a backward scan
+    over the exact-shape (T = n_i) input.
+    """
+    t = jnp.arange(x.shape[1])
+    idx = jnp.clip(n[:, None] - 1 - t[None, :], 0, x.shape[1] - 1)  # (B, T)
+    out = jnp.take_along_axis(x, idx[:, :, None], axis=1)
+    return jnp.where((t[None, :] < n[:, None])[:, :, None], out, 0.0)
+
+
+def gru_apply_masked(params: GRUParams, x, n, impl: str = "scan"):
+    """Length-aware GRU: bit-equal to ``gru_apply`` on each example cropped
+    to its own length n_i, with frames >= n_i zeroed in the output.
+
+    The forward direction is already exact for valid frames (h0 = 0, padding
+    sits after the valid prefix); the backward direction runs the bwd-params
+    cell *forward* over the per-example-reversed prefix (``reverse_padded``),
+    so any impl — scan or the Pallas kernels — stays usable and exact.
+    """
+    t = jnp.arange(x.shape[1])
+    valid = (t[None, :] < n[:, None])[:, :, None]
+    out_f = jnp.where(valid, gru_apply({"fwd": params["fwd"]}, x, impl=impl), 0.0)
+    if "bwd" not in params:
+        return out_f
+    out_b = gru_apply({"fwd": params["bwd"]}, reverse_padded(x, n), impl=impl)
+    out_b = reverse_padded(out_b, n)
+    return jnp.concatenate([out_f, out_b], axis=-1)
+
+
 def gru_apply(params: GRUParams, x, impl: str = "scan"):
     """GRU over a batch of sequences. x: (B, T, D) -> (B, T, H or 2H).
 

@@ -426,9 +426,13 @@ class Trainer:
             if self.model.seq2seq and self.epoch > 1:
                 # String-exact-match accuracy via beam decode
                 # (reference training.py:158-165). Decode the full padded
-                # batch (one compiled shape per bucket) and slice the strings.
+                # batch (one compiled shape per bucket) and slice the strings;
+                # true lengths select the length-exact path, so bucket/batch
+                # padding never reaches the decode metric.
                 n_real = int(bs)
-                guesses = np.array(self.model.decode_intents(batch["x"])[:n_real])
+                guesses = np.array(
+                    self.model.decode_intents(batch["x"], lengths=batch.get("len"))[:n_real]
+                )
                 y_host = np.asarray(batch["y_intent"][:n_real])
                 truths = np.array(
                     [
