@@ -37,55 +37,55 @@ TORCH_CPU_BASELINE_UTT_S = 90.8  # see module docstring
 V5E_HBM_GBPS = 819.0  # TPU v5e HBM bandwidth
 
 
-def estimate_encoder_hbm_bytes(arch, batch: int, t_samples: int) -> int:
-    """Minimum HBM traffic of one encoder forward (bytes, f32).
+def min_encoder_hbm_bytes(arch, batch: int, t_samples: int) -> int:
+    """*Lower-bound* HBM traffic of one encoder forward (bytes, f32).
 
-    Walks the layer chain counting activation reads+writes (weights are
-    negligible at 3.7 M params and stay resident). GRU layers are modeled as
-    executed: the input-projection matmul reads x and writes the (T, B, 3H)
-    gate tensor, and the fused kernel re-reads the gates and writes (T, B, H)
-    outputs per direction. Pools/elementwise read+write their operands
-    This is the *naive materialization* model: every intermediate written
-    once and read once by its consumer. A roofline fraction > 1 means the
-    compiled program touches HBM less than that — XLA/Pallas fusion keeping
-    intermediates in VMEM — i.e. the encoder runs at or beyond the naive
-    memory-bandwidth roofline.
+    Optimistic-fusion model, so the reported roofline fraction is a true
+    <= 1.0 fraction of the physical bandwidth ceiling: elementwise ops and
+    pools fuse into their producers/consumers (zero extra traffic — the
+    producer writes the already-pooled size), each conv output is written
+    once and read once by its consumer, and each GRU direction moves exactly
+    its irreducible streams: the gate tensor written once by the input
+    projection + read once by the recurrence kernel + the hidden outputs
+    written once. Weights (3.7 M params, VMEM-resident) are ignored, as is
+    anything a sufficiently smart compiler could keep on-chip beyond this.
     """
-    from tpu_slu.models.encoder import frames_through
-
     f32 = 4
-    total = batch * t_samples * f32  # read the waveform
-    t = t_samples
-    c = 1
+    total = 0
+    t, c = t_samples, 1
+    # pending=True: the current input tensor is an unmaterialized producer
+    # output (its write is charged when consumed, at the then-current,
+    # post-fused-pool size). pending=False: input already written (the
+    # waveform, or GRU outputs charged at the GRU), charge only the read.
+    pending = False
+
+    def consume():
+        nonlocal total, pending
+        total += (2 if pending else 1) * batch * t * c * f32
+        pending = False
+
     for spec in list(arch.phoneme_layers) + list(arch.word_layers):
         if spec.kind in ("sinc", "conv"):
             if spec.kind == "sinc":
-                n_filt, k, _, stride, pad = spec.h
-                cout = n_filt
+                cout, k, _, stride, pad = spec.h
             else:
                 _, cout, k, stride, pad = spec.h
+            consume()
             t = (t + 2 * pad - k) // stride + 1
             c = cout
-            total += batch * t * c * f32  # write activations
+            pending = True
         elif spec.kind == "pool":
-            if spec.h[0] > 1:
-                total += batch * t * c * f32  # read
-                t = -(-t // spec.h[0])
-                total += batch * t * c * f32  # write
+            t = -(-t // spec.h[0])  # fused into the producer's write
+        elif spec.kind == "downsample":
+            if spec.h[1] > 1:
+                t = -(-t // spec.h[1])  # fused into the consumer's read
         elif spec.kind == "gru":
-            in_dim, hidden, bidir = spec.h
+            consume()
+            _, hidden, bidir = spec.h
             dirs = 2 if bidir else 1
             gates = batch * t * 3 * hidden * f32
-            # read x for projection + write gates + kernel reads gates +
-            # writes outputs, per direction
-            total += dirs * (batch * t * in_dim * f32 + 2 * gates + batch * t * hidden * f32)
+            total += dirs * (2 * gates + batch * t * hidden * f32)
             c = hidden * dirs
-        elif spec.kind == "downsample":
-            method, factor = spec.h
-            if factor > 1:
-                total += batch * t * c * f32
-                t = -(-t // factor)
-                total += batch * t * c * f32
     return total
 
 
@@ -216,8 +216,10 @@ def main():
     baseline = measure_torch_baseline() if args.measure_baseline else TORCH_CPU_BASELINE_UTT_S
 
     # HBM-bandwidth roofline (the BASELINE.json north-star framing): achieved
-    # bytes/s over the v5e's 819 GB/s, using a conservative traffic estimate.
-    hbm_bytes = estimate_encoder_hbm_bytes(earch, B, T)
+    # bytes/s over the v5e's 819 GB/s, using the optimistic-fusion *minimum*
+    # traffic model (see min_encoder_hbm_bytes) so the fraction is <= 1.0 and
+    # "fraction of roofline" is a checkable claim.
+    hbm_bytes = min_encoder_hbm_bytes(earch, B, T)
     achieved_gbps = hbm_bytes / dt / 1e9
     roofline_frac = achieved_gbps / V5E_HBM_GBPS
 
