@@ -58,6 +58,75 @@ def test_trainer_falls_back_on_indivisible_batch(tmp_path, slu_root):
     assert np.isfinite(loss)
 
 
+def test_asr_model_parallel_matches_dp(tmp_path):
+    """ASR training with model_parallel=2 (vocab heads column-sharded over
+    the model axis) reproduces the pure-DP loss trajectory.
+
+    Drives the Trainer's real jitted train step on fixed batches (the ASR
+    dataset's random crop is drawn from a thread-shared rng, so full-epoch
+    trajectories are not run-to-run deterministic), then runs a full epoch
+    for integration.
+    """
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import PartitionSpec as P
+
+    from tpu_slu.data.datasets import get_ASR_datasets
+    from tpu_slu.models.encoder import PretrainedModel
+
+    asr_root = fixtures.make_asr_dataset(str(tmp_path / "libri"))
+    rng = np.random.default_rng(0)
+    batches = None
+    trajs = {}
+    for mp in (1, 2):
+        sub = tmp_path / f"mp{mp}"
+        sub.mkdir()
+        cfg = fixtures.write_cfg(
+            str(sub / "exp.cfg"), folder=str(sub / "exp"), asr_path=asr_root,
+            pretraining_type=2, extra="model_parallel=%d\n" % mp,
+        )
+        config = read_config(cfg)
+        np.random.seed(0)
+        train, valid, _ = get_ASR_datasets(config)
+        model = PretrainedModel(config)
+        trainer = Trainer(model, config)
+        assert trainer.model_parallel == mp
+        if mp == 2:
+            assert dict(trainer.mesh.shape) == {"data": 4, "model": 2}
+            w = model.params["word_linear"]["w"]
+            assert w.sharding.spec == P(None, "model"), w.sharding
+        if batches is None:
+            n_phone = -(-8000 // config.phone_downsample_factor)
+            n_word = -(-8000 // config.word_downsample_factor)
+            batches = [
+                {
+                    "x": rng.standard_normal((8, 8000)).astype(np.float32),
+                    "y_phoneme": rng.integers(-1, config.num_phonemes, (8, n_phone)).astype(np.int32),
+                    "y_word": rng.integers(-1, config.vocabulary_size, (8, n_word)).astype(np.int32),
+                    "w": np.ones((8,), np.float32),
+                    "len": np.full((8,), 8000, np.int32),
+                }
+                for _ in range(3)
+            ]
+        traj = []
+        key = jax.random.key(0, impl="rbg")
+        for k, batch in enumerate(batches):
+            model.params, trainer.opt_state, aux = trainer._train_step(
+                model.params, trainer.opt_state, jax.random.fold_in(key, k),
+                trainer._place_batch(batch),
+            )
+            traj.append(float(aux[0]) + float(aux[1]))
+        trajs[mp] = traj
+        if mp == 2:
+            # params keep their model sharding through the donated step
+            assert model.params["word_linear"]["w"].sharding.spec == P(None, "model")
+            _, loss, _, _ = trainer.train(train)
+            assert np.isfinite(loss)
+            results = trainer.test(valid)
+            assert np.isfinite(results[1])
+    np.testing.assert_allclose(trajs[2], trajs[1], rtol=1e-4)
+
+
 def test_dp_training_matches_single_device(tmp_path, slu_root):
     """Same seed, same data order: DP and single-device runs agree closely."""
     if len(jax.devices()) < 8:

@@ -258,6 +258,13 @@ def read_config(config_file: str, make_dirs: bool = True) -> Config:
             config.profile_dir = None
     except configparser.Error:
         config.profile_dir = None
+    # Extension: tensor parallelism degree. >1 builds a (data, model) mesh
+    # and column-shards the phoneme/word vocab-head matrices over the model
+    # axis (parallel/mesh.py); everything else replicates. 1 = pure DP.
+    try:
+        config.model_parallel = parser.getint("training", "model_parallel")
+    except configparser.Error:
+        config.model_parallel = 1
 
     # Total time-decimation factors between waveform samples and label frames
     # (reference data.py:121-128).

@@ -76,6 +76,29 @@ def param_shardings(mesh: Mesh, params: dict, shard_vocab_heads: bool = True):
     return shardings
 
 
+def opt_state_shardings(mesh: Mesh, params, p_shard, opt_state):
+    """Shardings for an optimizer state, derived from its actual structure.
+
+    Entries whose pytree structure mirrors ``params`` (per-leaf Adam m/v)
+    take the matching param sharding leaf-for-leaf — except leaves whose
+    rank differs from the param's (e.g. per-leaf scalar step counts), which
+    replicate. Everything else (flat Adam's raveled m/v vectors, (L,) step
+    vectors) replicates.
+    """
+    rep = NamedSharding(mesh, P())
+    p_struct = jax.tree.structure(params)
+
+    def entry(v):
+        if jax.tree.structure(v) == p_struct:
+            return jax.tree.map(
+                lambda s, pl, ol: s if np.ndim(ol) == np.ndim(pl) else rep,
+                p_shard, params, v,
+            )
+        return jax.tree.map(lambda _: rep, v)
+
+    return {k: entry(v) for k, v in opt_state.items()}
+
+
 def make_dp_train_step(step_fn, mesh: Mesh, params, opt_state, batch_template,
                        extra_arg_shardings=()):
     """jit ``step_fn(params, opt_state, *extras, batch)`` with mesh shardings.
@@ -85,11 +108,7 @@ def make_dp_train_step(step_fn, mesh: Mesh, params, opt_state, batch_template,
     all-reduce.
     """
     p_shard = param_shardings(mesh, params)
-    o_shard = {
-        "m": p_shard,
-        "v": p_shard,
-        "step": jax.tree.map(lambda _: NamedSharding(mesh, P()), opt_state["step"]),
-    }
+    o_shard = opt_state_shardings(mesh, params, p_shard, opt_state)
     b_shard = batch_shardings(mesh, batch_template)
     return jax.jit(
         step_fn,

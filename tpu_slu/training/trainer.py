@@ -53,7 +53,6 @@ class Trainer:
             self.checkpoint_path = os.path.join(config.folder, "training")
             batch_size = config.training_batch_size
         os.makedirs(self.checkpoint_path, exist_ok=True)
-        self.opt_state = flat_adam_init(model.params)
         self.epoch = 0
         self._rows: list[dict] = []
         # RBG bit generator: much cheaper dropout-mask generation on TPU than
@@ -68,35 +67,77 @@ class Trainer:
         self._model_ckpt = os.path.join(self.checkpoint_path, f"model_state.{ext}")
         self._trainer_ckpt = os.path.join(self.checkpoint_path, f"trainer_state.{ext}")
 
-        # Data parallelism: with >1 device and a divisible batch, shard
-        # batches over the mesh's data axis and replicate params — GSPMD
-        # inserts the gradient all-reduce over ICI (SURVEY.md §5). The
+        # Parallelism: with >1 device and a divisible batch, shard batches
+        # over the mesh's data axis — GSPMD inserts the gradient all-reduce
+        # over ICI (SURVEY.md §5). config model_parallel=N>1 additionally
+        # builds a (data, model) mesh and column-shards the phoneme/word
+        # vocab-head matrices over the model axis (parallel/mesh.py). The
         # fixed batch dim from the loader means one compiled step per bucket
         # regardless of device count.
         self.mesh = None
+        mp = max(1, getattr(config, "model_parallel", 1))
         n_dev = len(jax.devices())
         if n_dev > 1 and getattr(config, "data_parallel", True):
-            if batch_size % n_dev == 0:
+            if mp > 1 and n_dev % mp != 0:
+                print(f"model_parallel={mp} disabled: {n_dev} devices not divisible")
+                mp = 1
+            if batch_size % (n_dev // mp) == 0:
                 from tpu_slu.parallel.mesh import make_mesh
 
-                self.mesh = make_mesh(n_dev, model_parallel=1)
-                self._replicate_state()
+                self.mesh = make_mesh(n_dev, model_parallel=mp)
             else:
                 print(
                     f"data parallelism disabled: batch size {batch_size} not "
-                    f"divisible by {n_dev} devices"
+                    f"divisible by {n_dev // mp} data-parallel devices"
                 )
+        elif mp > 1:
+            print(f"model_parallel={mp} ignored: single device")
+        self.model_parallel = mp if self.mesh is not None else 1
+        # Flat (raveled) Adam can't carry mixed shardings in one vector, so
+        # tensor-parallel runs use per-leaf Adam whose m/v mirror the param
+        # shardings (identical math, optim.py).
+        if self.model_parallel > 1:
+            from tpu_slu.training.optim import adam_init
+
+            self.opt_state = adam_init(model.params)
+        else:
+            self.opt_state = flat_adam_init(model.params)
+        if self.mesh is not None:
+            self._shard_state()
         self._build_steps()
 
-    def _replicate_state(self):
-        from jax.sharding import NamedSharding, PartitionSpec
+    def _shardings(self):
+        from tpu_slu.parallel.mesh import opt_state_shardings, param_shardings
 
-        rep = NamedSharding(self.mesh, PartitionSpec())
-        self.model.params = jax.device_put(
-            self.model.params, jax.tree.map(lambda _: rep, self.model.params)
-        )
-        self.opt_state = jax.device_put(
-            self.opt_state, jax.tree.map(lambda _: rep, self.opt_state)
+        p_shard = param_shardings(self.mesh, self.model.params)
+        o_shard = opt_state_shardings(self.mesh, self.model.params, p_shard, self.opt_state)
+        return p_shard, o_shard
+
+    def _shard_state(self):
+        """Place params/opt-state on the mesh (replicated; vocab heads
+        model-sharded when model_parallel > 1)."""
+        p_shard, o_shard = self._shardings()
+        self.model.params = jax.device_put(self.model.params, p_shard)
+        self.opt_state = jax.device_put(self.opt_state, o_shard)
+
+    def _jit_step(self, fn, n_extras: int):
+        """jit a ``(params, opt_state, *extras, batch)`` step, with explicit
+        shardings pinned when the mesh has a model axis (extras replicate,
+        batches shard on the data axis)."""
+        if self.mesh is None or self.model_parallel <= 1:
+            return jax.jit(fn, donate_argnums=(0, 1))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tpu_slu.parallel.mesh import DATA_AXIS
+
+        p_shard, o_shard = self._shardings()
+        rep = NamedSharding(self.mesh, P())
+        data = NamedSharding(self.mesh, P(DATA_AXIS))
+        return jax.jit(
+            fn,
+            in_shardings=(p_shard, o_shard) + (rep,) * n_extras + (data,),
+            out_shardings=(p_shard, o_shard, None),
+            donate_argnums=(0, 1),
         )
 
     def _place_batch(self, batch):
@@ -116,7 +157,9 @@ class Trainer:
 
     def _build_steps(self):
         from tpu_slu.ops.gru import resolve_gru_impl
+        from tpu_slu.training.optim import adam_update
 
+        adam_fn = flat_adam_update if self.model_parallel <= 1 else adam_update
         lr = self.lr
         clip = getattr(self.config, "gradient_clip_norm", 0.0)
         gru_impl = resolve_gru_impl(self.config)
@@ -160,7 +203,7 @@ class Trainer:
                 grads, aux = jax.grad(loss_fn, has_aux=True)(params)
                 grads = clip_grads(grads)
                 mask = jax.tree.map(lambda _: 1.0, params)
-                params, opt_state = flat_adam_update(params, grads, opt_state, mask, lr)
+                params, opt_state = adam_fn(params, grads, opt_state, mask, lr)
                 return params, opt_state, aux
 
             def eval_step(params, batch):
@@ -169,7 +212,7 @@ class Trainer:
                     train=False, gru_impl=gru_impl, compute_dtype=compute_dtype,
                 )
 
-            self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+            self._train_step = self._jit_step(train_step, n_extras=1)
             self._eval_step = jax.jit(eval_step)
             return
 
@@ -227,7 +270,7 @@ class Trainer:
             )
             (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             grads = clip_grads(grads)
-            params, opt_state = flat_adam_update(params, grads, opt_state, mask, lr)
+            params, opt_state = adam_fn(params, grads, opt_state, mask, lr)
             return params, opt_state, (loss, acc)
 
         def eval_step(params, batch):
@@ -236,7 +279,7 @@ class Trainer:
             )
             return loss_fn(params)
 
-        self._train_step = jax.jit(full_train_step, donate_argnums=(0, 1))
+        self._train_step = self._jit_step(full_train_step, n_extras=2)
         self._eval_step = jax.jit(eval_step)
 
     def _next_rng(self):
@@ -279,7 +322,7 @@ class Trainer:
             except Exception as e:
                 print(f"Could not load trainer state; optimizer starts fresh ({e})")
         if self.mesh is not None:
-            self._replicate_state()
+            self._shard_state()
 
     def save_checkpoint(self):
         try:
