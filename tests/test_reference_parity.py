@@ -300,6 +300,60 @@ class TestAgainstReferenceImplementation:
                 ref_decode = ref_model.decode_intents(_torch.from_numpy(wav[None, :]))
             assert [list(x) for x in ref_decode] == [list(x) for x in ours_decode]
 
+    @pytest.mark.slow
+    def test_train_in_reference_deploy_here(self, ref_models, tmp_path, rng):
+        """The bundled-checkpoint user flow (reference README.md:26-41), with
+        the checkpoint produced by actually TRAINING the reference: optimize
+        the reference Model with torch Adam on the synthetic set, torch.save
+        its state_dict, import it with load_torch_state_dict, and verify both
+        implementations decode identical intents on held-out audio."""
+        import pandas as pd
+        import torch as _torch
+
+        from tests import fixtures
+        from tpu_slu.data.audio import read_wav
+        from tpu_slu.data.datasets import get_SLU_datasets
+
+        slu_root = fixtures.make_slu_dataset(str(tmp_path / "fsc"), n_train=48)
+        cfg = fixtures.write_cfg(
+            str(tmp_path / "exp.cfg"), folder=str(tmp_path / "exp"), slu_path=slu_root
+        )
+        config = read_config(cfg)
+        train, _, _ = get_SLU_datasets(config)
+        config.num_phonemes = 5
+
+        _torch.manual_seed(0)
+        ref_model = ref_models.Model(config)  # pretraining_type=0: all trainable
+        opt = _torch.optim.Adam(ref_model.parameters(), lr=3e-3)
+        ref_model.train()
+        for _epoch in range(6):
+            for batch in train.loader:
+                n = int(batch["w"].sum())
+                x = _torch.from_numpy(batch["x"][:n])
+                y = _torch.from_numpy(batch["y_intent"][:n]).long()
+                loss, _acc = ref_model(x, y)
+                opt.zero_grad()
+                loss.backward()
+                opt.step()
+        ref_model.eval()
+        pth = str(tmp_path / "model_state.pth")
+        _torch.save(ref_model.state_dict(), pth)
+
+        ours = slu_mod.Model(config, load_pretrained=False).load_torch_state_dict(pth)
+
+        df = pd.read_csv(os.path.join(slu_root, "data", "valid_data.csv"))
+        correct = 0
+        for i in range(8):
+            row = df.iloc[i]
+            wav, _fs = read_wav(os.path.join(slu_root, row.path))
+            with torch.no_grad():
+                ref_decode = ref_model.decode_intents(_torch.from_numpy(wav[None, :]))
+            got = ours.decode_intents(wav[None, :])
+            assert [list(x) for x in got] == [list(x) for x in ref_decode]
+            correct += list(ref_decode[0]) == [row.action, row.object, row.location]
+        # the imported checkpoint is a genuinely *trained* model, not noise
+        assert correct >= 6, f"reference training failed to learn ({correct}/8)"
+
     def test_torch_saved_checkpoint_roundtrip(self, ref_models, config, tmp_path, rng):
         """torch.save a reference model's state_dict -> our importer loads it
         and reproduces the reference's features (the real .pth flow)."""
