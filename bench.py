@@ -213,6 +213,50 @@ def main():
         d_estimates.append(max((dk - d1) / 40, 1e-6) * 1000)
     decode_device_ms = float(np.median(d_estimates))
 
+    # Full SLU train step (fwd + bwd + masked flat Adam + dropout RNG) via the
+    # REAL Trainer jit — traced mask vector, in-jit fold_in, donation.
+    def measure_train_step():
+        from tpu_slu.training.optim import expand_mask
+        from tpu_slu.training.trainer import Trainer
+
+        trainer = Trainer(model, config)
+        batch = {
+            "x": x,
+            "y_intent": jnp.asarray(
+                np.stack(
+                    [np.random.default_rng(2).integers(0, n, B) for n in iarch.values_per_slot], 1
+                ).astype(np.int32)
+            ),
+            "w": jnp.ones((B,), jnp.float32),
+            "len": jnp.full((B,), T, jnp.int32),
+        }
+        mask = jax.device_put(expand_mask(model.params, model.trainable_mask()))
+        p, o = model.params, trainer.opt_state
+
+        def run(k, p, o):
+            t0 = time.time()
+            for _ in range(k):
+                p, o, (loss, _) = trainer._train_step(
+                    p, o, mask, trainer._next_step_idx(), batch
+                )
+            np.asarray(loss)
+            return time.time() - t0, p, o
+
+        _, p, o = run(2, p, o)
+        est = []
+        for _ in range(3):
+            t1a, p, o = run(1, p, o)
+            t1b, p, o = run(1, p, o)
+            tka, p, o = run(31, p, o)
+            tkb, p, o = run(31, p, o)
+            est.append(max((min(tka, tkb) - min(t1a, t1b)) / 30, 1e-6) * 1000)
+        return float(min(est))
+
+    try:
+        train_step_ms = round(measure_train_step(), 3)
+    except Exception as e:  # keep the contract line printing no matter what
+        train_step_ms = f"failed: {e}"
+
     baseline = measure_torch_baseline() if args.measure_baseline else TORCH_CPU_BASELINE_UTT_S
 
     # HBM-bandwidth roofline (the BASELINE.json north-star framing): achieved
@@ -235,6 +279,7 @@ def main():
                 "achieved_gbps": round(achieved_gbps, 1),
                 "p50_decode_ms": round(p50_ms, 1),
                 "decode_device_ms": round(decode_device_ms, 3),
+                "train_step_ms": train_step_ms,
                 "gru_impl": gru_impl,
                 "dtype": args.dtype,
                 "ms_per_iter_device": round(dt * 1000, 3),

@@ -270,3 +270,70 @@ class TestLoaderErrors:
         loader = BatchLoader(DS(), 2, collate=list, shuffle=False)
         with pytest.raises(FileNotFoundError):
             list(loader)
+
+
+class TestMultiHostLoader:
+    """Per-process input sharding for pod slices (loader.py:65-101)."""
+
+    class Ident:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return i
+
+    def _host_streams(self, n, pcount, batch_size=4, seed=3):
+        streams = {}
+        for pidx in range(pcount):
+            loader = BatchLoader(
+                self.Ident(n), batch_size, collate=list, shuffle=True, seed=seed,
+                process_index=pidx, process_count=pcount,
+            )
+            batches = list(loader)
+            assert len(batches) == len(loader), "len(loader) must match reality"
+            streams[pidx] = batches
+        return streams
+
+    def test_shards_cover_disjointly_with_equal_batch_counts(self):
+        n, pcount = 37, 4
+        streams = self._host_streams(n, pcount)
+        # every host produces the same number of batches (lockstep collectives)
+        assert len({len(b) for b in streams.values()}) == 1
+        flat = {p: [i for b in bs for i in b] for p, bs in streams.items()}
+        # equal-length shards of ceil(n/pcount) examples
+        assert {len(v) for v in flat.values()} == {10}
+        # union covers the dataset; wrap-padding duplicates exactly fill the gap
+        union = set().union(*[set(v) for v in flat.values()])
+        assert union == set(range(n))
+        from collections import Counter
+
+        counts = Counter(i for v in flat.values() for i in v)
+        assert sum(c - 1 for c in counts.values()) == pcount * 10 - n
+
+    def test_exact_division_is_duplicate_free(self):
+        streams = self._host_streams(32, 4)
+        flat = [i for bs in streams.values() for b in bs for i in b]
+        assert sorted(flat) == list(range(32))
+
+    def test_hosts_agree_on_the_epoch_permutation(self):
+        """Shards are strides of ONE seeded permutation, so a global batch
+        (same step index on every host) never mixes epochs."""
+        n, pcount = 24, 2
+        streams_a = self._host_streams(n, pcount)
+        order = np.arange(n)
+        np.random.default_rng(3 + 0).shuffle(order)  # seed + epoch
+        padded = order
+        got = np.concatenate([np.asarray(b) for b in streams_a[0]])
+        np.testing.assert_array_equal(got, padded[0::2])
+        got1 = np.concatenate([np.asarray(b) for b in streams_a[1]])
+        np.testing.assert_array_equal(got1, padded[1::2])
+
+
+def test_all_hosts_sum_single_process_identity():
+    from tpu_slu.training.trainer import _all_hosts_sum
+
+    vals = [1.5, np.float32(2.0), 3]
+    assert _all_hosts_sum(vals) == vals

@@ -51,6 +51,34 @@ def test_seq2seq_training_loop_and_decode_eval(tmp_path, slu_root):
     assert isinstance(out[0], str)
 
 
+def test_decode_acc_from_epoch_flag(tmp_path, slu_root, capsys):
+    """decode_acc_from_epoch=1 logs decoded accuracy from the FIRST eval
+    (default 2 = reference parity: intent_acc rows are 0.0 until epoch 2)."""
+    cfg = fixtures.write_cfg(
+        str(tmp_path / "exp.cfg"), folder=str(tmp_path / "exp"), slu_path=slu_root,
+        seq2seq=True, extra="decode_acc_from_epoch=1\n",
+    )
+    config = read_config(cfg)
+    assert config.decode_acc_from_epoch == 1
+    fixtures.write_phonemes_txt(config.folder)
+    config.seq2seq_max_decode_len = 16
+    train, valid, _ = get_SLU_datasets(config)
+    model = Model(config)
+    trainer = Trainer(model, config)
+    trainer.train(train)  # epoch -> 1
+    capsys.readouterr()
+    trainer.test(valid)
+    assert "decoding batch" in capsys.readouterr().out
+
+    # default gate: no decode at epoch 1
+    config.decode_acc_from_epoch = 2
+    trainer2 = Trainer(model, config)
+    trainer2.epoch = 1
+    capsys.readouterr()
+    trainer2.test(valid)
+    assert "decoding batch" not in capsys.readouterr().out
+
+
 def test_augment_wave_properties(rng):
     x = (0.3 * np.sin(2 * np.pi * 440 * np.arange(8000) / 16000)).astype(np.float32)
     y = _augment_wave(x, rng)

@@ -109,10 +109,9 @@ def test_asr_model_parallel_matches_dp(tmp_path):
                 for _ in range(3)
             ]
         traj = []
-        key = jax.random.key(0, impl="rbg")
         for k, batch in enumerate(batches):
             model.params, trainer.opt_state, aux = trainer._train_step(
-                model.params, trainer.opt_state, jax.random.fold_in(key, k),
+                model.params, trainer.opt_state, np.int32(k),
                 trainer._place_batch(batch),
             )
             traj.append(float(aux[0]) + float(aux[1]))

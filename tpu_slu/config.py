@@ -258,6 +258,14 @@ def read_config(config_file: str, make_dirs: bool = True) -> Config:
             config.profile_dir = None
     except configparser.Error:
         config.profile_dir = None
+    # Extension: first epoch at which seq2seq eval decodes strings for the
+    # accuracy metric. Default 2 = reference parity (training.py:158 decodes
+    # only when epoch > 1, so log.csv intent_acc is 0.0 until then); set 1 to
+    # log decoded accuracy from the first eval.
+    try:
+        config.decode_acc_from_epoch = parser.getint("training", "decode_acc_from_epoch")
+    except configparser.Error:
+        config.decode_acc_from_epoch = 2
     # Extension: tensor parallelism degree. >1 builds a (data, model) mesh
     # and column-shards the phoneme/word vocab-head matrices over the model
     # axis (parallel/mesh.py); everything else replicates. 1 = pure DP.

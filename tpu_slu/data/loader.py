@@ -89,6 +89,12 @@ class BatchLoader:
             np.random.default_rng(self.seed + epoch).shuffle(order)
         pidx, pcount = self._process_shard()
         if pcount > 1:
+            # Equal-length shards: every host must produce the SAME number of
+            # batches or lockstep collectives deadlock at epoch end. Wrap the
+            # permutation so each host gets exactly ceil(n/pcount) examples
+            # (<= pcount-1 wrapped duplicates globally, standard shard+pad).
+            n_shard = -(-len(order) // pcount)
+            order = np.concatenate([order, order[: n_shard * pcount - len(order)]])
             order = order[pidx::pcount]
         batches = [
             order[i : i + self.batch_size].tolist() for i in range(0, len(order), self.batch_size)

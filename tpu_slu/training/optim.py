@@ -19,51 +19,63 @@ import numpy as np
 
 
 def flat_adam_init(params):
-    """State for :func:`flat_adam_update`: m/v as one raveled vector each,
-    per-leaf step counts as an (L,) vector."""
+    """State for :func:`flat_adam_update`: m/v/step as raveled (P,) vectors.
+
+    The step count is per-element rather than per-leaf — equivalent (a mask
+    is uniform within a leaf) and it keeps the whole update free of gathers:
+    per-leaf counts needed two ``jnp.repeat`` broadcasts per step, measured
+    ~0.4 ms on the flagship model (vs ~3.1 ms of total step time)."""
     from jax.flatten_util import ravel_pytree
 
     flat, _ = ravel_pytree(params)
-    n_leaves = len(jax.tree.leaves(params))
     return {
         "m": jnp.zeros_like(flat),
         "v": jnp.zeros_like(flat),
-        "step": jnp.zeros((n_leaves,), jnp.int32),
+        "step": jnp.zeros(flat.shape, jnp.int32),
     }
+
+
+def expand_mask(params, mask):
+    """0/1-per-leaf mask pytree -> one raveled (P,) vector.
+
+    Precompute this once per epoch and pass the device vector to the train
+    step: feeding L tiny scalar args per step costs ~0.6 ms of per-argument
+    transfer/staging through the device relay (measured, flagship model).
+    """
+    sizes = np.asarray([int(np.prod(jnp.shape(x))) for x in jax.tree.leaves(params)])
+    leaf = jnp.stack(
+        [jnp.asarray(m, jnp.float32).reshape(()) for m in jax.tree.leaves(mask)]
+    )
+    return jnp.repeat(leaf, sizes, total_repeat_length=int(sizes.sum()))
 
 
 def flat_adam_update(params, grads, state, mask, lr, b1=0.9, b2=0.999, eps=1e-8):
     """Masked Adam over ONE raveled vector (identical math to
-    :func:`adam_update`, same per-leaf step semantics).
+    :func:`adam_update`, same per-leaf lazy-step semantics).
 
     The per-leaf formulation emits hundreds of tiny kernels (measured
     ~1.8 ms/step on a v5e for a 3.7 M-param model — more than the entire
     forward pass); raveling collapses it to a handful of fused elementwise
-    ops. ``mask`` is a pytree whose leaves are 0/1 scalars (one per param
-    leaf, as produced by ``Model.trainable_mask``).
+    ops. ``mask`` is a 0/1-per-leaf pytree (as produced by
+    ``Model.trainable_mask``) or an already-expanded (P,) vector
+    (:func:`expand_mask`).
     """
     from jax.flatten_util import ravel_pytree
 
     flat_p, unravel = ravel_pytree(params)
     flat_g, _ = ravel_pytree(grads)
-    sizes = [int(np.prod(jnp.shape(x))) for x in jax.tree.leaves(params)]
-    mask_leaf = jnp.stack(
-        [jnp.asarray(m, jnp.float32).reshape(()) for m in jax.tree.leaves(mask)]
-    )  # (L,)
+    if not (
+        isinstance(mask, jax.Array) and mask.ndim == 1 and mask.shape == flat_p.shape
+    ):
+        mask = expand_mask(params, mask)
 
-    on_leaf = mask_leaf > 0.0
-    step_new = jnp.where(on_leaf, state["step"] + 1, state["step"])  # (L,)
-    t_leaf = jnp.maximum(step_new, 1).astype(jnp.float32)
-
-    # Broadcast per-leaf scalars to the raveled layout (static sizes).
-    mask_vec = jnp.repeat(mask_leaf, np.asarray(sizes), total_repeat_length=flat_p.shape[0])
-    t_vec = jnp.repeat(t_leaf, np.asarray(sizes), total_repeat_length=flat_p.shape[0])
-
-    on = mask_vec > 0.0
+    on = mask > 0.0
+    step_new = jnp.where(on, state["step"] + 1, state["step"])
+    t = jnp.maximum(step_new, 1).astype(jnp.float32)
     m_new = jnp.where(on, b1 * state["m"] + (1.0 - b1) * flat_g, state["m"])
     v_new = jnp.where(on, b2 * state["v"] + (1.0 - b2) * flat_g * flat_g, state["v"])
-    m_hat = m_new / (1.0 - b1**t_vec)
-    v_hat = v_new / (1.0 - b2**t_vec)
+    m_hat = m_new / (1.0 - b1**t)
+    v_hat = v_new / (1.0 - b2**t)
     upd = lr * m_hat / (jnp.sqrt(v_hat) + eps)
     p_new = jnp.where(on, flat_p - upd, flat_p)
 

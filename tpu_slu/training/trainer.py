@@ -32,11 +32,27 @@ from tpu_slu.models import encoder as enc
 from tpu_slu.models import slu as slu_mod
 from tpu_slu.models.encoder import PretrainedModel
 from tpu_slu.training import checkpoint as ckpt
-from tpu_slu.training.optim import flat_adam_init, flat_adam_update
+from tpu_slu.training.optim import expand_mask, flat_adam_init, flat_adam_update
 
 
 def _weighted_mean(total, count):
     return total / max(count, 1e-9)
+
+
+def _all_hosts_sum(scalars):
+    """Sum metric scalars across hosts. Single-process: identity.
+
+    On a pod slice every host iterates its own input shard
+    (loader.py process sharding), so device-accumulated totals cover 1/Pth of
+    the epoch; log.csv rows must aggregate the global batch."""
+    if jax.process_count() == 1:
+        return scalars
+    from jax.experimental import multihost_utils
+
+    stacked = multihost_utils.process_allgather(
+        jnp.stack([jnp.asarray(v, jnp.float32) for v in scalars])
+    )
+    return list(np.asarray(stacked).sum(axis=0))
 
 
 class Trainer:
@@ -190,7 +206,14 @@ class Trainer:
                     "1 (phoneme), 2 (phoneme+word) or 3 (word), or skip --pretrain"
                 )
 
-            def train_step(params, opt_state, rng, batch):
+            base_rng = self._base_rng
+
+            def train_step(params, opt_state, step_idx, batch):
+                # RNG derived INSIDE the jit: a host-side fold_in per step is
+                # a separate tiny device dispatch that serializes with the
+                # step through the relay (measured +2.6 ms/step, flagship).
+                rng = jax.random.fold_in(base_rng, step_idx)
+
                 def loss_fn(p):
                     pl_, wl, pa, wa = enc.encoder_loss(
                         p, arch, batch["x"], batch["y_phoneme"], batch["y_word"],
@@ -264,7 +287,10 @@ class Trainer:
 
                 return loss_fn
 
-        def full_train_step(params, opt_state, mask, rng, batch):
+        base_rng = self._base_rng
+
+        def full_train_step(params, opt_state, mask, step_idx, batch):
+            rng = jax.random.fold_in(base_rng, step_idx)  # see ASR step note
             loss_fn = loss_fn_builder(
                 batch["x"], batch["y_intent"], batch["w"], batch.get("len"), True, rng
             )
@@ -282,9 +308,9 @@ class Trainer:
         self._train_step = self._jit_step(full_train_step, n_extras=2)
         self._eval_step = jax.jit(eval_step)
 
-    def _next_rng(self):
+    def _next_step_idx(self):
         self._step_count += 1
-        return jax.random.fold_in(self._base_rng, self._step_count)
+        return np.int32(self._step_count)
 
     # -- checkpointing (reference training.py:23-39) --------------------------
 
@@ -376,7 +402,7 @@ class Trainer:
                 num_examples += bs
                 with timer.step():
                     self.model.params, self.opt_state, aux = self._train_step(
-                        self.model.params, self.opt_state, self._next_rng(), batch
+                        self.model.params, self.opt_state, self._next_step_idx(), batch
                     )
                 pl_, wl, pa, wa = aux
                 totals["phone_loss"] = totals["phone_loss"] + pl_ * bs
@@ -388,7 +414,10 @@ class Trainer:
                     print(f"word loss: {float(wl)}")
                     print(f"phoneme acc: {float(pa)}")
                     print(f"word acc: {float(wa)}")
-        results = {k: _weighted_mean(float(v), num_examples) for k, v in totals.items()}
+        keys = list(totals)
+        sums = _all_hosts_sum([totals[k] for k in keys] + [num_examples])
+        num_examples = float(sums[-1])
+        results = {k: _weighted_mean(float(v), num_examples) for k, v in zip(keys, sums)}
         results["set"] = "train"
         results["examples_per_sec"] = num_examples / max(time.time() - t0, 1e-9)
         results.update(timer.summary())
@@ -412,13 +441,16 @@ class Trainer:
         timer = StepTimer()
         self.model.print_frozen()
         mask = self.model.trainable_mask()
+        if self.model_parallel <= 1:
+            # one raveled device vector instead of L host scalars (optim.py)
+            mask = jax.device_put(expand_mask(self.model.params, mask))
         profile_dir = getattr(self.config, "profile_dir", None) if self.epoch == 0 else None
         with profile_trace(profile_dir):
             for idx, (bs, batch) in enumerate(self._batches(dataset)):
                 num_examples += bs
                 with timer.step():
                     self.model.params, self.opt_state, (loss, acc) = self._train_step(
-                        self.model.params, self.opt_state, mask, self._next_rng(), batch
+                        self.model.params, self.opt_state, mask, self._next_step_idx(), batch
                     )
                 total_loss = total_loss + loss * bs
                 total_acc = total_acc + acc * bs
@@ -426,6 +458,9 @@ class Trainer:
                     print(f"intent loss: {float(loss)}")
                     print(f"intent acc: {float(acc)}")
         self.model.unfreeze_one_layer()  # per-epoch ULMFiT trigger (training.py:115)
+        total_loss, total_acc, num_examples = _all_hosts_sum(
+            [total_loss, total_acc, num_examples]
+        )
         results = {
             "intent_loss": _weighted_mean(float(total_loss), num_examples),
             "intent_acc": _weighted_mean(float(total_acc), num_examples),
@@ -448,7 +483,10 @@ class Trainer:
                 totals["word_loss"] = totals["word_loss"] + wl * bs
                 totals["phone_acc"] = totals["phone_acc"] + pa * bs
                 totals["word_acc"] = totals["word_acc"] + wa * bs
-            results = {k: _weighted_mean(float(v), num_examples) for k, v in totals.items()}
+            keys = list(totals)
+            sums = _all_hosts_sum([totals[k] for k in keys] + [num_examples])
+            num_examples = float(sums[-1])
+            results = {k: _weighted_mean(float(v), num_examples) for k, v in zip(keys, sums)}
             results["set"] = log_set
             self.log(results)
             return (
@@ -466,7 +504,7 @@ class Trainer:
             loss, acc = self._eval_step(self.model.params, batch)
             total_loss = total_loss + loss * bs
             total_acc = total_acc + acc * bs
-            if self.model.seq2seq and self.epoch > 1:
+            if self.model.seq2seq and self.epoch >= getattr(self.config, "decode_acc_from_epoch", 2):
                 # String-exact-match accuracy via beam decode
                 # (reference training.py:158-165). Decode the full padded
                 # batch (one compiled shape per bucket) and slice the strings;
@@ -489,6 +527,9 @@ class Trainer:
                 print(f"acc: {match}")
                 print(f"guess: {guesses[0]}")
                 print(f"truth: {truths[0]}")
+        total_loss, total_acc, num_examples = _all_hosts_sum(
+            [total_loss, total_acc, num_examples]
+        )
         results = {
             "intent_loss": _weighted_mean(float(total_loss), num_examples),
             "intent_acc": _weighted_mean(float(total_acc), num_examples),
