@@ -127,6 +127,36 @@ class TestSeq2SeqForward:
         ref = _torch_decoder_logprob(params, arch, feats, y_onehot)
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
+    def test_log_prob_bucket_invariant_with_num_steps(self, rng):
+        """EOS-padding labels up to a bucket boundary must not change the
+        loss when num_steps masks the extra steps (the trainer passes
+        max(y_len); ADVICE r1: loss scale was bucket-dependent)."""
+        arch = Seq2SeqArch(
+            num_labels=5, num_encoder_layers=1, encoder_dim=6,
+            num_decoder_layers=2, decoder_dim=8, key_dim=6, value_dim=7, sos=0,
+        )
+        in_dim = 10
+        params = init_seq2seq_params(jax.random.PRNGKey(0), arch, in_dim)
+        B, T, U = 3, 9, 6
+        eos = 4
+        feats = jnp.asarray(rng.standard_normal((B, T, in_dim), dtype=np.float32))
+        ids = rng.integers(0, 5, (B, U))
+        y_exact = np.eye(5, dtype=np.float32)[ids]
+        ids_bucket = np.concatenate(
+            [ids, np.full((B, 10), eos, ids.dtype)], axis=1
+        )  # EOS-padded to a 16 "bucket"
+        y_bucket = np.eye(5, dtype=np.float32)[ids_bucket]
+
+        lp_exact = slu_mod.seq2seq_log_prob(params, arch, feats, jnp.asarray(y_exact))
+        lp_bucket = slu_mod.seq2seq_log_prob(
+            params, arch, feats, jnp.asarray(y_bucket), num_steps=jnp.asarray(U)
+        )
+        np.testing.assert_allclose(np.asarray(lp_bucket), np.asarray(lp_exact),
+                                   rtol=1e-6, atol=1e-6)
+        # without num_steps the padded version accumulates extra EOS terms
+        lp_unmasked = slu_mod.seq2seq_log_prob(params, arch, feats, jnp.asarray(y_bucket))
+        assert not np.allclose(np.asarray(lp_unmasked), np.asarray(lp_exact))
+
 
 def _numpy_beam_search(step_fn, state0, batch, V, U, B):
     """Reference-semantics beam search in plain NumPy (oracle)."""

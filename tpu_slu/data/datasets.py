@@ -220,11 +220,16 @@ class CollateWavsSLU:
             return {"x": x, "y_intent": y, "w": w, "len": lengths}
         u_max = pad_to_bucket(max(len(y_) for _, y_ in items), LABEL_BUCKET_QUANT)
         ids = np.full((self.batch_size, u_max), self.eos, np.int64)
+        y_len = np.zeros((self.batch_size,), np.int32)
         for i, (_, y_) in enumerate(items):
             ids[i, : len(y_)] = y_
+            y_len[i] = len(y_)
         onehot = np.zeros((self.batch_size, u_max, self.num_labels), np.float32)
         np.put_along_axis(onehot, ids[:, :, None], 1.0, axis=2)
-        return {"x": x, "y_intent": onehot, "w": w, "len": lengths}
+        # y_len: true <sos>..<eos> label lengths. The loss masks decode steps
+        # past max(y_len), so bucket quantization never adds extra log p(EOS)
+        # terms beyond the reference's pad-to-batch-max behavior.
+        return {"x": x, "y_intent": onehot, "w": w, "len": lengths, "y_len": y_len}
 
 
 # ---------------------------------------------------------------------------

@@ -264,10 +264,14 @@ def _decoder_step(dec_params, arch: Seq2SeqArch, enc_out, state, y_prev, *, trai
 
 
 def seq2seq_log_prob(params, arch: Seq2SeqArch, feats, y_onehot, *, train=False, rng=None,
-                     gru_impl="scan", enc_mask=None):
+                     gru_impl="scan", enc_mask=None, num_steps=None):
     """Teacher-forced log p(y|x) per example (models.py:515-556).
 
-    y_onehot: (B, U, num_labels), EOS-padded one-hot targets.
+    y_onehot: (B, U, num_labels), EOS-padded one-hot targets. ``num_steps``
+    (traced scalar) excludes decode steps u >= num_steps from the sum: the
+    loader EOS-pads labels to a bucket boundary, and masking past the batch's
+    true max label length keeps the loss scale exactly the reference's
+    pad-to-batch-max behavior regardless of bucketing.
     """
     enc_out = seq2seq_encode(params["encoder"], arch, feats, train=train, rng=rng, gru_impl=gru_impl)
     dec = params["decoder"]
@@ -285,7 +289,10 @@ def seq2seq_log_prob(params, arch: Seq2SeqArch, feats, y_onehot, *, train=False,
         state, logp = _decoder_step(
             dec, arch, enc_out, state, y_prev, train=train, rng=step_rng, enc_mask=enc_mask
         )
-        acc = acc + (logp * y_u).sum(axis=1)
+        step_lp = (logp * y_u).sum(axis=1)
+        if num_steps is not None:
+            step_lp = jnp.where(u < num_steps, step_lp, 0.0)
+        acc = acc + step_lp
         return (state, y_u, acc), None
 
     (_, _, log_p), _ = jax.lax.scan(

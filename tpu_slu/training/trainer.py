@@ -244,7 +244,7 @@ class Trainer:
         if not model.seq2seq:
             iarch = model.intent_arch
 
-            def loss_fn_builder(x, y, w, lengths, train, rng):
+            def loss_fn_builder(x, y, w, lengths, train, rng, y_len=None):
                 def loss_fn(p):
                     r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
                     feats = enc.encoder_features(
@@ -266,7 +266,7 @@ class Trainer:
         else:
             sarch = model.seq2seq_arch
 
-            def loss_fn_builder(x, y, w, lengths, train, rng):
+            def loss_fn_builder(x, y, w, lengths, train, rng, y_len=None):
                 def loss_fn(p):
                     r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
                     feats = enc.encoder_features(
@@ -278,9 +278,13 @@ class Trainer:
                         enc_mask = slu_mod.frame_mask_from_lengths(
                             earch, lengths, feats.shape[1]
                         )
+                    # Mask decode steps past the batch's true max label
+                    # length: keeps the loss at the reference's
+                    # pad-to-batch-max scale, bucket-invariant (datasets.py).
+                    num_steps = jnp.max(y_len) if y_len is not None else None
                     log_p = slu_mod.seq2seq_log_prob(
                         p, sarch, feats, y, train=train, rng=r2, gru_impl=gru_impl,
-                        enc_mask=enc_mask,
+                        enc_mask=enc_mask, num_steps=num_steps,
                     )
                     denom = jnp.maximum(w.sum(), 1.0)
                     return -(log_p * w).sum() / denom, jnp.zeros((), jnp.float32)
@@ -292,7 +296,8 @@ class Trainer:
         def full_train_step(params, opt_state, mask, step_idx, batch):
             rng = jax.random.fold_in(base_rng, step_idx)  # see ASR step note
             loss_fn = loss_fn_builder(
-                batch["x"], batch["y_intent"], batch["w"], batch.get("len"), True, rng
+                batch["x"], batch["y_intent"], batch["w"], batch.get("len"), True, rng,
+                y_len=batch.get("y_len"),
             )
             (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             grads = clip_grads(grads)
@@ -301,7 +306,8 @@ class Trainer:
 
         def eval_step(params, batch):
             loss_fn = loss_fn_builder(
-                batch["x"], batch["y_intent"], batch["w"], batch.get("len"), False, None
+                batch["x"], batch["y_intent"], batch["w"], batch.get("len"), False, None,
+                y_len=batch.get("y_len"),
             )
             return loss_fn(params)
 
