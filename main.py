@@ -84,28 +84,12 @@ def main():
         # Dataset-free inference: vocab.json (written at training time)
         # replaces the reference's get_SLU_datasets side-effect requirement;
         # falls back to the dataset when only legacy artifacts exist.
-        import json
-        import os
-
         from tpu_slu.data.audio import read_wav
+        from tpu_slu.serving import load_trained_model
 
         if not args.wav:
             parser.error("--decode requires --wav")
-        vocab_path = os.path.join(config.folder, "training", "vocab.json")
-        if os.path.isfile(vocab_path):
-            with open(vocab_path) as f:
-                Model.attach_vocab(config, json.load(f))
-        else:
-            get_SLU_datasets(config)
-        model = Model(config, load_pretrained=False)
-        npz = os.path.join(config.folder, "training", "model_state.npz")
-        pth = os.path.join(config.folder, "training", "model_state.pth")
-        if os.path.isfile(npz):
-            model.load_native_checkpoint(npz)
-        elif os.path.isfile(pth):
-            model.load_torch_state_dict(pth)
-        else:
-            raise FileNotFoundError(f"no trained SLU checkpoint at {npz} or {pth}")
+        model = load_trained_model(config)
         signal, fs = read_wav(args.wav)
         intents = model.decode_intents(signal[None, :])
         print(intents[0])

@@ -38,6 +38,17 @@ def read_wav(path: str, dtype=np.float32, channel: int | None = 0):
             return result
     with open(path, "rb") as f:
         data = f.read()
+    return decode_wav_bytes(data, dtype=dtype, channel=channel, name=path)
+
+
+def decode_wav_bytes(data: bytes, dtype=np.float32, channel: int | None = 0,
+                     name: str = "<bytes>"):
+    """Decode in-memory RIFF/WAVE bytes -> (samples, sample_rate).
+
+    Same semantics as :func:`read_wav`; the serving path decodes request
+    bodies without touching disk.
+    """
+    path = name
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError(f"{path}: not a RIFF/WAVE file")
 
