@@ -27,7 +27,7 @@ import numpy as np
 from tpu_slu import ops
 from tpu_slu.models import encoder as enc
 from tpu_slu.models.encoder import EncoderArch, LayerSpec, _linear_init, _rnn_block_specs
-from tpu_slu.ops.attention import attend, attention_init
+from tpu_slu.ops.attention import attend_kv, attention_init, attention_kv
 from tpu_slu.ops.beam import beam_search
 
 PARAM_KINDS = ("sinc", "conv", "gru")
@@ -238,15 +238,18 @@ def seq2seq_encode(params, arch: Seq2SeqArch, feats, *, train=False, rng=None, g
     return out
 
 
-def _decoder_step(dec_params, arch: Seq2SeqArch, enc_out, state, y_prev, *, train=False, rng=None,
+def _decoder_step(dec_params, arch: Seq2SeqArch, enc_kv, state, y_prev, *, train=False, rng=None,
                   enc_mask=None):
     """One decode step: attend -> embed -> stacked GRUCells -> log-softmax.
 
-    state: (B, num_layers, H); y_prev: (B, num_labels) one-hot (or zeros).
+    state: (B, num_layers, H); y_prev: (B, num_labels) one-hot (or zeros);
+    ``enc_kv``: precomputed (keys, values) from :func:`attention_kv` — the
+    projections are loop-invariant, so callers hoist them out of the scan.
     ``enc_mask`` (B, T) excludes padded encoder frames from attention.
     Returns (new_state, logp (B, num_labels)).
     """
-    context = attend(dec_params["attention"], enc_out, state[:, -1], mask=enc_mask)
+    keys, values = enc_kv
+    context = attend_kv(dec_params["attention"], keys, values, state[:, -1], mask=enc_mask)
     emb = y_prev @ dec_params["embed"]["w"] + dec_params["embed"]["b"]
     h_in = jnp.concatenate([emb, context], axis=1)
     new_states = []
@@ -275,6 +278,7 @@ def seq2seq_log_prob(params, arch: Seq2SeqArch, feats, y_onehot, *, train=False,
     """
     enc_out = seq2seq_encode(params["encoder"], arch, feats, train=train, rng=rng, gru_impl=gru_impl)
     dec = params["decoder"]
+    enc_kv = attention_kv(dec["attention"], enc_out)  # hoisted out of the scan
     B, U, L = y_onehot.shape
     state0 = jnp.broadcast_to(dec["initial_state"][None], (B,) + dec["initial_state"].shape)
     y_sos = jax.nn.one_hot(jnp.full((B,), arch.sos), L, dtype=jnp.float32)
@@ -287,7 +291,7 @@ def seq2seq_log_prob(params, arch: Seq2SeqArch, feats, y_onehot, *, train=False,
         y_u, u = inp
         step_rng = jax.random.fold_in(base_rng, u) if train else None
         state, logp = _decoder_step(
-            dec, arch, enc_out, state, y_prev, train=train, rng=step_rng, enc_mask=enc_mask
+            dec, arch, enc_kv, state, y_prev, train=train, rng=step_rng, enc_mask=enc_mask
         )
         step_lp = (logp * y_u).sum(axis=1)
         if num_steps is not None:
@@ -308,11 +312,12 @@ def seq2seq_beam_infer(params, arch: Seq2SeqArch, feats, beam_width: int = 4, *,
         params["encoder"], arch, feats, train=False, gru_impl=gru_impl, n_frames=n_frames
     )
     dec = params["decoder"]
+    enc_kv = attention_kv(dec["attention"], enc_out)  # hoisted out of the decode loop
     B = feats.shape[0]
     state0 = jnp.broadcast_to(dec["initial_state"][None], (B,) + dec["initial_state"].shape)
 
     def step_fn(state, y_prev):
-        return _decoder_step(dec, arch, enc_out, state, y_prev, train=False, enc_mask=enc_mask)
+        return _decoder_step(dec, arch, enc_kv, state, y_prev, train=False, enc_mask=enc_mask)
 
     return beam_search(
         step_fn, state0, B, arch.num_labels, arch.max_decode_len, beam_width

@@ -22,13 +22,24 @@ def attention_init(key, encoder_dim: int, decoder_dim: int, key_dim: int, value_
     }
 
 
-def attend(params, encoder_states, decoder_state, mask=None):
-    """encoder_states: (B, T, E); decoder_state: (B, D) -> context (B, V).
+def attention_kv(params, encoder_states):
+    """Project encoder states to (keys (B,T,K), values (B,T,Vd)) ONCE.
+
+    The K/V projections depend only on the encoder output, which is fixed
+    across all decode steps — hoisting them out of the decode scan removes
+    the dominant matmul from every step (the reference recomputes them per
+    step inside Attention.forward, models.py:425-427).
+    """
+    keys = encoder_states @ params["key"]["w"] + params["key"]["b"]
+    values = encoder_states @ params["value"]["w"] + params["value"]["b"]
+    return keys, values
+
+
+def attend_kv(params, keys, values, decoder_state, mask=None):
+    """One attention read over precomputed K/V. decoder_state (B, D) -> (B, Vd).
 
     ``mask`` (B, T) True for valid frames; padded frames get -inf scores.
     """
-    keys = encoder_states @ params["key"]["w"] + params["key"]["b"]  # (B, T, K)
-    values = encoder_states @ params["value"]["w"] + params["value"]["b"]  # (B, T, V)
     query = decoder_state @ params["query"]["w"] + params["query"]["b"]  # (B, K)
     key_dim = keys.shape[-1]
     scores = jnp.einsum("btk,bk->bt", keys, query) / jnp.sqrt(jnp.float32(key_dim))
@@ -36,3 +47,13 @@ def attend(params, encoder_states, decoder_state, mask=None):
         scores = jnp.where(mask, scores, -jnp.inf)
     weights = jax.nn.softmax(scores, axis=1)
     return jnp.einsum("bt,btv->bv", weights, values)
+
+
+def attend(params, encoder_states, decoder_state, mask=None):
+    """encoder_states: (B, T, E); decoder_state: (B, D) -> context (B, V).
+
+    Convenience compose of :func:`attention_kv` + :func:`attend_kv` for
+    single calls; loops should hoist ``attention_kv`` instead.
+    """
+    keys, values = attention_kv(params, encoder_states)
+    return attend_kv(params, keys, values, decoder_state, mask=mask)
