@@ -337,3 +337,32 @@ def test_all_hosts_sum_single_process_identity():
 
     vals = [1.5, np.float32(2.0), 3]
     assert _all_hosts_sum(vals) == vals
+
+
+def test_export_results_reference_shape(tmp_path):
+    """tools/export_results.py strips log.csv to the reference's
+    results.csv column set (reference timers_and_such type1_results.csv)."""
+    import importlib.util
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "export_results",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools", "export_results.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    log = tmp_path / "log.csv"
+    pd.DataFrame(
+        {
+            "intent_loss": [2.0, 1.5],
+            "intent_acc": [0.1, 0.4],
+            "set": ["train", "valid"],
+            "examples_per_sec": [100.0, 0.0],
+            "step_ms_p50": [3.0, 0.0],
+        }
+    ).to_csv(log)
+    out = mod.export_results(str(log))
+    df = pd.read_csv(out, index_col=0)
+    assert list(df.columns) == ["intent_loss", "intent_acc", "set"]
+    assert os.path.basename(out) == "results.csv"  # no experiment.cfg nearby
