@@ -79,6 +79,22 @@ def test_grad_through_stacked_layers(rng):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("T,lengths", [(TIME_BLOCK * 2, (32, 17, 9, 1)),
+                                       (TIME_BLOCK + 5, (21, 21, 5, 12))])
+def test_masked_joint_kernel_matches_scan(rng, monkeypatch, T, lengths):
+    """gru_apply_masked under Pallas (joint kernel over the per-example
+    reversed stream) == the masked scan path, which is itself pinned to
+    exact-shape per-example results by tests/test_masking.py."""
+    monkeypatch.setenv("TPU_SLU_PALLAS_INTERPRET", "1")
+    B, D, H = len(lengths), 10, 8
+    x = jnp.asarray(rng.standard_normal((B, T, D), dtype=np.float32))
+    n = jnp.asarray(np.array(lengths, np.int32))
+    params = ops.gru_init(jax.random.PRNGKey(7), D, H, bidirectional=True)
+    ref = ops.gru_apply_masked(params, x, n, impl="scan")
+    got = ops.gru_apply_masked(params, x, n, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("B,T", [(1, 4), (1, TIME_BLOCK * 2 + 1), (3, 1)])
 def test_edge_shapes(rng, B, T):
     """Tiny batch/length edges (sublane < 8, single step) stay correct."""

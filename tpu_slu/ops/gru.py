@@ -113,6 +113,17 @@ def resolve_gru_impl(config=None) -> str:
     return choice
 
 
+def _pallas_active(impl: str) -> bool:
+    """True when ``impl`` requests Pallas and the kernels can run here."""
+    if not impl.startswith("pallas"):
+        return False
+    import os
+
+    from tpu_slu.ops.pallas_gru import gru_pallas_available
+
+    return gru_pallas_available() or bool(os.environ.get("TPU_SLU_PALLAS_INTERPRET"))
+
+
 def reverse_padded(x, n):
     """Per-example time reversal of the valid prefix. x: (B, T, C), n: (B,).
 
@@ -134,9 +145,21 @@ def gru_apply_masked(params: GRUParams, x, n, impl: str = "scan"):
     sits after the valid prefix); the backward direction runs the bwd-params
     cell *forward* over the per-example-reversed prefix (``reverse_padded``),
     so any impl — scan or the Pallas kernels — stays usable and exact.
+    Under Pallas, both directions ride the joint bidirectional kernel (the
+    reversed prefix *is* the backward direction's processing order), halving
+    the recurrence count vs two unidirectional launches.
     """
     t = jnp.arange(x.shape[1])
     valid = (t[None, :] < n[:, None])[:, :, None]
+    if "bwd" in params and _pallas_active(impl):
+        from tpu_slu.ops.pallas_gru import bigru_apply_pallas_streams
+
+        tb = int(impl.split(":", 1)[1]) if ":" in impl else None
+        out_f, out_b = bigru_apply_pallas_streams(
+            params, x, reverse_padded(x, n), time_block=tb
+        )
+        out_f = jnp.where(valid, out_f, 0.0)
+        return jnp.concatenate([out_f, reverse_padded(out_b, n)], axis=-1)
     out_f = jnp.where(valid, gru_apply({"fwd": params["fwd"]}, x, impl=impl), 0.0)
     if "bwd" not in params:
         return out_f
@@ -152,14 +175,11 @@ def gru_apply(params: GRUParams, x, impl: str = "scan"):
     back to scan on non-TPU backends). "pallas:N" overrides the forward time
     block to N (e.g. "pallas:64" for inference-only traces).
     """
-    if impl.startswith("pallas"):
-        import os
+    if _pallas_active(impl):
+        from tpu_slu.ops.pallas_gru import gru_apply_pallas
 
-        from tpu_slu.ops.pallas_gru import gru_pallas_available, gru_apply_pallas
-
-        if gru_pallas_available() or os.environ.get("TPU_SLU_PALLAS_INTERPRET"):
-            tb = int(impl.split(":", 1)[1]) if ":" in impl else None
-            return gru_apply_pallas(params, x, time_block=tb)
+        tb = int(impl.split(":", 1)[1]) if ":" in impl else None
+        return gru_apply_pallas(params, x, time_block=tb)
     out_f = _gru_scan(params["fwd"], x, reverse=False)
     if "bwd" not in params:
         return out_f

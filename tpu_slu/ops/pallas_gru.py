@@ -262,30 +262,51 @@ def _bidir_fwd_call(gi_f, gi_b, w_f, b_f, w_b, b_b, tb=None):
 def _bidir_bwd_kernel(gif_ref, gib_ref, hpf_ref, hpb_ref, dyf_ref, dyb_ref,
                       wf_ref, wft_ref, bf_ref, wb_ref, wbt_ref, bb_ref,
                       dgif_ref, dgib_ref, dwf_ref, dbf_ref, dwb_ref, dbb_ref,
-                      dhf_ref, dhb_ref):
+                      dhf_ref, dhb_ref, gatesf_ref, gatesb_ref):
     @pl.when(pl.program_id(0) == 0)
     def _():
         for ref in (dhf_ref, dhb_ref, dwf_ref, dbf_ref, dwb_ref, dbb_ref):
             ref[:] = jnp.zeros_like(ref)
 
-    def one(gi, h_prev, dy, dh_in, w_ref, wt_ref, b_ref, dw_ref, db_ref):
-        gi = gi.astype(jnp.float32)
-        h_prev = h_prev.astype(jnp.float32)
-        dh = dh_in + dy.astype(jnp.float32)
+    TB, B, H = hpf_ref.shape
+
+    # Block prologue: everything that depends only on the *streamed* inputs
+    # (not on the sequentially-carried dh) hoists out of the step loop — the
+    # hidden-side gate recomputation becomes ONE (TB*B, H)x(H, 3H) MXU matmul
+    # per block instead of TB serial (B, H) matmuls on the critical path, and
+    # the r/z/n activations vectorize over the whole block. The step loop is
+    # left with a single critical-path matmul (the dh chain through W^T).
+    def precompute(gi_ref, hp_ref, w_ref, b_ref, gates_ref):
+        hp = hp_ref[:].astype(jnp.float32).reshape(TB * B, H)
         gh = (
-            jnp.dot(h_prev.astype(w_ref.dtype), w_ref[:], preferred_element_type=jnp.float32)
+            jnp.dot(hp.astype(w_ref.dtype), w_ref[:], preferred_element_type=jnp.float32)
             + b_ref[0].astype(jnp.float32)
         )
-        H = h_prev.shape[-1]
+        gi = gi_ref[:].astype(jnp.float32).reshape(TB * B, 3 * H)
         r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
         z = jax.nn.sigmoid(gi[:, H : 2 * H] + gh[:, H : 2 * H])
         gh_n = gh[:, 2 * H :]
         n = jnp.tanh(gi[:, 2 * H :] + r * gh_n)
-        dn = dh * (1.0 - z)
-        dz = dh * (h_prev - n)
-        dn_pre = dn * (1.0 - n * n)
-        dr_pre = dn_pre * gh_n * r * (1.0 - r)
-        dz_pre = dz * z * (1.0 - z)
+        # pre-fold the constant factor the step loop would otherwise redo:
+        # dr_pre = dn_pre * (gh_n * r * (1 - r)), stored in slot 0
+        gates_ref[:] = jnp.concatenate(
+            [gh_n * r * (1.0 - r), z, n, r], axis=1
+        ).reshape(TB, B, 4 * H)
+
+    precompute(gif_ref, hpf_ref, wf_ref, bf_ref, gatesf_ref)
+    precompute(gib_ref, hpb_ref, wb_ref, bb_ref, gatesb_ref)
+
+    def one(u, dh_in, hp_ref, dy_ref, gates_ref, wt_ref, dw_ref, db_ref):
+        h_prev = hp_ref[u].astype(jnp.float32)
+        dh = dh_in + dy_ref[u].astype(jnp.float32)
+        g = gates_ref[u]
+        rfac = g[:, :H]
+        z = g[:, H : 2 * H]
+        n = g[:, 2 * H : 3 * H]
+        r = g[:, 3 * H :]
+        dn_pre = dh * (1.0 - z) * (1.0 - n * n)
+        dz_pre = dh * (h_prev - n) * z * (1.0 - z)
+        dr_pre = dn_pre * rfac
         dgh = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=1)
         dgi = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
         dw_ref[:] += jnp.dot(h_prev.T, dgh, preferred_element_type=jnp.float32)
@@ -298,10 +319,8 @@ def _bidir_bwd_kernel(gif_ref, gib_ref, hpf_ref, hpb_ref, dyf_ref, dyb_ref,
 
     def step(u, carry):
         dhf, dhb = carry
-        dgif, dhf = one(gif_ref[u], hpf_ref[u], dyf_ref[u], dhf,
-                        wf_ref, wft_ref, bf_ref, dwf_ref, dbf_ref)
-        dgib, dhb = one(gib_ref[u], hpb_ref[u], dyb_ref[u], dhb,
-                        wb_ref, wbt_ref, bb_ref, dwb_ref, dbb_ref)
+        dgif, dhf = one(u, dhf, hpf_ref, dyf_ref, gatesf_ref, wft_ref, dwf_ref, dbf_ref)
+        dgib, dhb = one(u, dhb, hpb_ref, dyb_ref, gatesb_ref, wbt_ref, dwb_ref, dbb_ref)
         dgif_ref[u] = dgif.astype(dgif_ref.dtype)
         dgib_ref[u] = dgib.astype(dgib_ref.dtype)
         return dhf, dhb
@@ -335,7 +354,12 @@ def _bidir_bwd_call(gi_f, gi_b, hp_f, hp_b, dy_f, dy_b, w_f, b_f, w_b, b_b):
             jax.ShapeDtypeStruct((H, threeH), jnp.float32),
             jax.ShapeDtypeStruct((1, threeH), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32), pltpu.VMEM((B, H), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((TB, B, 4 * H), jnp.float32),
+            pltpu.VMEM((TB, B, 4 * H), jnp.float32),
+        ],
         interpret=_interpret(),
     )(gi_f, gi_b, hp_f, hp_b, dy_f, dy_b,
       w_f.astype(dt), w_f.T.astype(dt), b_f, w_b.astype(dt), w_b.T.astype(dt), b_b)
@@ -462,6 +486,29 @@ def _gates(params_dir, x):
     return jnp.swapaxes(gi, 0, 1)
 
 
+def _bigru_streams(params, gi_f, gi_b, tb: int):
+    """Joint kernel over two *processing-order* gate streams (T, B, 3H).
+
+    Returns (h_f, h_b), each (B, T, H) in its stream's own processing order.
+    Callers own any time reversal (plain flip for the standard bidirectional
+    layer, per-example ``reverse_padded`` for the length-masked path).
+    """
+    # padded length must satisfy both the fwd block and the bwd kernel block
+    quant = max(tb, BWD_TIME_BLOCK)
+    T = gi_f.shape[0]
+    Tp = -(-T // quant) * quant
+    if Tp != T:
+        pad = ((0, Tp - T), (0, 0), (0, 0))
+        gi_f = jnp.pad(gi_f, pad)
+        gi_b = jnp.pad(gi_b, pad)
+    h_f, h_b = _bigru_seq_for(tb)(
+        gi_f, gi_b,
+        params["fwd"]["w_hh"], params["fwd"]["b_hh"],
+        params["bwd"]["w_hh"], params["bwd"]["b_hh"],
+    )
+    return jnp.swapaxes(h_f[:T], 0, 1), jnp.swapaxes(h_b[:T], 0, 1)
+
+
 def gru_apply_pallas(params, x, time_block: int | None = None):
     """Bidirectional (or uni) GRU via the fused kernels. x: (B, T, D).
 
@@ -473,21 +520,22 @@ def gru_apply_pallas(params, x, time_block: int | None = None):
     if "bwd" not in params:
         return _run_direction(params["fwd"], x, reverse=False)
     tb = time_block or TIME_BLOCK
-    # padded length must satisfy both the fwd block and the bwd kernel block
-    quant = max(tb, BWD_TIME_BLOCK)
-    B, T, _ = x.shape
     gi_f = _gates(params["fwd"], x)
     gi_b = jnp.flip(_gates(params["bwd"], x), axis=0)  # processing order
-    Tp = -(-T // quant) * quant
-    if Tp != T:
-        pad = ((0, Tp - T), (0, 0), (0, 0))
-        gi_f = jnp.pad(gi_f, pad)
-        gi_b = jnp.pad(gi_b, pad)
-    h_f, h_b = _bigru_seq_for(tb)(
-        gi_f, gi_b,
-        params["fwd"]["w_hh"], params["fwd"]["b_hh"],
-        params["bwd"]["w_hh"], params["bwd"]["b_hh"],
-    )
-    out_f = jnp.swapaxes(h_f[:T], 0, 1)
-    out_b = jnp.swapaxes(jnp.flip(h_b[:T], axis=0), 0, 1)
+    out_f, h_b = _bigru_streams(params, gi_f, gi_b, tb)
+    out_b = jnp.flip(h_b, axis=1)
     return jnp.concatenate([out_f, out_b], axis=-1)
+
+
+def bigru_apply_pallas_streams(params, x_fwd, x_bwd, time_block: int | None = None):
+    """Joint bidirectional kernel over two pre-arranged input streams.
+
+    ``x_fwd``/``x_bwd``: (B, T, D), each already in its direction's
+    *processing order* (the masked path passes the per-example-reversed
+    prefix as ``x_bwd``). Returns (out_f, out_b), both (B, T, H), in
+    processing order — the caller undoes the reversal.
+    """
+    tb = time_block or TIME_BLOCK
+    gi_f = _gates(params["fwd"], x_fwd)
+    gi_b = _gates(params["bwd"], x_bwd)
+    return _bigru_streams(params, gi_f, gi_b, tb)
