@@ -185,34 +185,68 @@ def _bwd_call(gi_f, hprev_f, dy_f, w_hh, b_hh):
 
 
 # ---------------------------------------------------------------------------
-# Fused bidirectional kernels
+# Fully-fused joint bidirectional kernels
 #
 # A bidirectional layer as two pallas_calls runs the directions sequentially
 # (one TPU core, no stream overlap), paying the serial per-step latency twice.
 # These kernels interleave forward step t and backward step T-1-t in the SAME
 # grid iteration: the two directions' matmuls are independent and pipeline
 # back-to-back through the MXU, nearly halving recurrence-bound wall time.
-# Both directions' gate streams arrive pre-flipped to processing order, so
-# the step loop is identical for both.
+#
+# The input-gate projection gi = x @ W_ih + b_ih is computed INSIDE the
+# kernels, one batched (TB*B, D)x(D, 3H) MXU matmul per block: the (T, B, 3H)
+# gate streams — the dominant HBM traffic of the gate-stream formulation —
+# never touch HBM. The kernels stream the raw (T, B, D) layer inputs instead
+# (D < 3H for every layer of the flagship topology), and the backward kernel
+# additionally folds the dX = dgi @ W_ih^T and dW_ih = x^T dgi matmuls into a
+# per-block epilogue, so its only streamed output is dX (D-wide, not 3H).
+# Each direction receives its inputs pre-arranged in its own processing order
+# (a plain time flip for the standard layer, the per-example reversed prefix
+# for the length-masked path), so the step loop is identical for both.
 # ---------------------------------------------------------------------------
 
-BWD_TIME_BLOCK = 8  # the joint backward kernel streams 8 block operands
+BWD_TIME_BLOCK = 8  # the joint backward kernel streams many block operands
 
 
-def _bidir_fwd_kernel(gif_ref, gib_ref, wf_ref, bf_ref, wb_ref, bb_ref,
-                      outf_ref, outb_ref, hf_ref, hb_ref):
+def _auto_tb(base: int, batch: int) -> int:
+    """Halve the time block as the batch grows past 64 so per-block VMEM
+    footprint (streams + gate scratch scale with tb*B) stays under the
+    scoped-VMEM budget; stays a power of two so fwd/bwd grids co-divide."""
+    while batch > 64 and base > 2:
+        base //= 2
+        batch //= 2
+    return base
+
+
+def _fused_fwd_kernel(xf_ref, xb_ref,
+                      wihf_ref, bihf_ref, whhf_ref, bhhf_ref,
+                      wihb_ref, bihb_ref, whhb_ref, bhhb_ref,
+                      outf_ref, outb_ref,
+                      hf_ref, hb_ref, gif_ref, gib_ref):
     @pl.when(pl.program_id(0) == 0)
     def _():
         hf_ref[:] = jnp.zeros_like(hf_ref)
         hb_ref[:] = jnp.zeros_like(hb_ref)
 
+    TB, B, D = xf_ref.shape
+    H = hf_ref.shape[-1]
+
+    def project(x_ref, wih_ref, bih_ref, gi_ref):
+        # whole-block input projection: one MXU matmul, result stays in VMEM
+        x = x_ref[:].reshape(TB * B, D)
+        gi_ref[:] = (
+            jnp.dot(x, wih_ref[:], preferred_element_type=jnp.float32)
+            + bih_ref[0].astype(jnp.float32)
+        ).reshape(TB, B, 3 * H)
+
+    project(xf_ref, wihf_ref, bihf_ref, gif_ref)
+    project(xb_ref, wihb_ref, bihb_ref, gib_ref)
+
     def one(gi, h, w_ref, b_ref):
-        gi = gi.astype(jnp.float32)
         gh = (
             jnp.dot(h.astype(w_ref.dtype), w_ref[:], preferred_element_type=jnp.float32)
             + b_ref[0].astype(jnp.float32)
         )
-        H = h.shape[-1]
         r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
         z = jax.nn.sigmoid(gi[:, H : 2 * H] + gh[:, H : 2 * H])
         n = jnp.tanh(gi[:, 2 * H :] + r * gh[:, 2 * H :])
@@ -220,83 +254,104 @@ def _bidir_fwd_kernel(gif_ref, gib_ref, wf_ref, bf_ref, wb_ref, bb_ref,
 
     def step(u, carry):
         hf, hb = carry
-        hf = one(gif_ref[u], hf, wf_ref, bf_ref)
-        hb = one(gib_ref[u], hb, wb_ref, bb_ref)
+        hf = one(gif_ref[u], hf, whhf_ref, bhhf_ref)
+        hb = one(gib_ref[u], hb, whhb_ref, bhhb_ref)
         outf_ref[u] = hf.astype(outf_ref.dtype)
         outb_ref[u] = hb.astype(outb_ref.dtype)
         return hf, hb
 
-    hf, hb = jax.lax.fori_loop(0, gif_ref.shape[0], step, (hf_ref[:], hb_ref[:]))
+    hf, hb = jax.lax.fori_loop(0, TB, step, (hf_ref[:], hb_ref[:]))
     hf_ref[:] = hf
     hb_ref[:] = hb
 
 
-def _bidir_fwd_call(gi_f, gi_b, w_f, b_f, w_b, b_b, tb=None):
-    Tp, B, threeH = gi_f.shape
-    H = threeH // 3
-    tb = tb or TIME_BLOCK
-    dt = gi_f.dtype  # bf16 gate streams halve the dominant HBM traffic
-    stream = lambda i: (i, 0, 0)  # noqa: E731
+def _fused_fwd_call(x_f, x_b, wih_f, bih_f, whh_f, bhh_f,
+                    wih_b, bih_b, whh_b, bhh_b, tb: int):
+    Tp, B, D = x_f.shape
+    H = whh_f.shape[0]
+    dt = x_f.dtype  # bf16 inputs halve the dominant HBM traffic
+    stream_x = pl.BlockSpec((tb, B, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    stream_h = pl.BlockSpec((tb, B, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _bidir_fwd_kernel,
+        _fused_fwd_kernel,
         grid=(Tp // tb,),
-        in_specs=[
-            pl.BlockSpec((tb, B, threeH), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, B, threeH), stream, memory_space=pltpu.VMEM),
-            full, full, full, full,
-        ],
-        out_specs=[
-            pl.BlockSpec((tb, B, H), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, B, H), stream, memory_space=pltpu.VMEM),
-        ],
+        in_specs=[stream_x, stream_x] + [full] * 8,
+        out_specs=[stream_h, stream_h],
         out_shape=[
             jax.ShapeDtypeStruct((Tp, B, H), dt),
             jax.ShapeDtypeStruct((Tp, B, H), dt),
         ],
-        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32), pltpu.VMEM((B, H), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((tb, B, 3 * H), jnp.float32),
+            pltpu.VMEM((tb, B, 3 * H), jnp.float32),
+        ],
         interpret=_interpret(),
-    )(gi_f, gi_b, w_f.astype(dt), b_f, w_b.astype(dt), b_b)
+    )(x_f, x_b,
+      wih_f.astype(dt), bih_f[None, :], whh_f.astype(dt), bhh_f[None, :],
+      wih_b.astype(dt), bih_b[None, :], whh_b.astype(dt), bhh_b[None, :])
 
 
-def _bidir_bwd_kernel(gif_ref, gib_ref, hpf_ref, hpb_ref, dyf_ref, dyb_ref,
-                      wf_ref, wft_ref, bf_ref, wb_ref, wbt_ref, bb_ref,
-                      dgif_ref, dgib_ref, dwf_ref, dbf_ref, dwb_ref, dbb_ref,
-                      dhf_ref, dhb_ref, gatesf_ref, gatesb_ref):
+def _fused_bwd_kernel(xf_ref, xb_ref, hpf_ref, hpb_ref, dyf_ref, dyb_ref,
+                      wihf_ref, wihtf_ref, bihf_ref, whhf_ref, whhtf_ref, bhhf_ref,
+                      wihb_ref, wihtb_ref, bihb_ref, whhb_ref, whhtb_ref, bhhb_ref,
+                      dxf_ref, dxb_ref,
+                      dwihf_ref, dbihf_ref, dwhhf_ref, dbhhf_ref,
+                      dwihb_ref, dbihb_ref, dwhhb_ref, dbhhb_ref,
+                      dhf_ref, dhb_ref, gatesf_ref, gatesb_ref, dgif_ref, dgib_ref):
+    """One reversed time-block, both directions.
+
+    Inputs arrive time-flipped (index u walks each direction's processing
+    order backwards). Per-direction structure:
+
+    * prologue (batched, off the critical path): recompute gi and gh with one
+      (TB*B, ·)x(·, 3H) matmul each, evaluate r/z/n for the whole block into
+      VMEM scratch.
+    * step loop (sequential): only the dh chain — elementwise gate grads plus
+      a single (B, 3H)x(3H, H) matmul through W_hh^T. dgi goes to scratch.
+    * epilogue (batched): dX = dgi @ W_ih^T streamed out; dW_ih += x^T dgi,
+      dW_hh += hp^T dgh, and the bias sums accumulate into fixed blocks.
+
+    Zero-padding analysis: padded steps sit at the *end* of processing order,
+    i.e. at the *start* of this reversed walk, with dy = 0 — dh stays 0, so
+    every padded step's dgi/dgh contribution is exactly 0 (the garbage gate
+    values computed from gi = b_ih there are multiplied by zeros).
+    """
     @pl.when(pl.program_id(0) == 0)
     def _():
-        for ref in (dhf_ref, dhb_ref, dwf_ref, dbf_ref, dwb_ref, dbb_ref):
+        for ref in (dhf_ref, dhb_ref, dwihf_ref, dbihf_ref, dwhhf_ref, dbhhf_ref,
+                    dwihb_ref, dbihb_ref, dwhhb_ref, dbhhb_ref):
             ref[:] = jnp.zeros_like(ref)
 
-    TB, B, H = hpf_ref.shape
+    TB, B, D = xf_ref.shape
+    H = hpf_ref.shape[-1]
 
-    # Block prologue: everything that depends only on the *streamed* inputs
-    # (not on the sequentially-carried dh) hoists out of the step loop — the
-    # hidden-side gate recomputation becomes ONE (TB*B, H)x(H, 3H) MXU matmul
-    # per block instead of TB serial (B, H) matmuls on the critical path, and
-    # the r/z/n activations vectorize over the whole block. The step loop is
-    # left with a single critical-path matmul (the dh chain through W^T).
-    def precompute(gi_ref, hp_ref, w_ref, b_ref, gates_ref):
+    def precompute(x_ref, hp_ref, wih_ref, bih_ref, whh_ref, bhh_ref, gates_ref):
+        x = x_ref[:].reshape(TB * B, D)
+        gi = (
+            jnp.dot(x, wih_ref[:], preferred_element_type=jnp.float32)
+            + bih_ref[0].astype(jnp.float32)
+        )
         hp = hp_ref[:].astype(jnp.float32).reshape(TB * B, H)
         gh = (
-            jnp.dot(hp.astype(w_ref.dtype), w_ref[:], preferred_element_type=jnp.float32)
-            + b_ref[0].astype(jnp.float32)
+            jnp.dot(hp.astype(whh_ref.dtype), whh_ref[:], preferred_element_type=jnp.float32)
+            + bhh_ref[0].astype(jnp.float32)
         )
-        gi = gi_ref[:].astype(jnp.float32).reshape(TB * B, 3 * H)
         r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
         z = jax.nn.sigmoid(gi[:, H : 2 * H] + gh[:, H : 2 * H])
         gh_n = gh[:, 2 * H :]
         n = jnp.tanh(gi[:, 2 * H :] + r * gh_n)
-        # pre-fold the constant factor the step loop would otherwise redo:
-        # dr_pre = dn_pre * (gh_n * r * (1 - r)), stored in slot 0
+        # slot 0 pre-folds dr_pre = dn_pre * (gh_n * r * (1 - r))
         gates_ref[:] = jnp.concatenate(
             [gh_n * r * (1.0 - r), z, n, r], axis=1
         ).reshape(TB, B, 4 * H)
 
-    precompute(gif_ref, hpf_ref, wf_ref, bf_ref, gatesf_ref)
-    precompute(gib_ref, hpb_ref, wb_ref, bb_ref, gatesb_ref)
+    precompute(xf_ref, hpf_ref, wihf_ref, bihf_ref, whhf_ref, bhhf_ref, gatesf_ref)
+    precompute(xb_ref, hpb_ref, wihb_ref, bihb_ref, whhb_ref, bhhb_ref, gatesb_ref)
 
-    def one(u, dh_in, hp_ref, dy_ref, gates_ref, wt_ref, dw_ref, db_ref):
+    def one(u, dh_in, hp_ref, dy_ref, gates_ref, whht_ref, dgi_ref):
         h_prev = hp_ref[u].astype(jnp.float32)
         dh = dh_in + dy_ref[u].astype(jnp.float32)
         g = gates_ref[u]
@@ -308,108 +363,149 @@ def _bidir_bwd_kernel(gif_ref, gib_ref, hpf_ref, hpb_ref, dyf_ref, dyb_ref,
         dz_pre = dh * (h_prev - n) * z * (1.0 - z)
         dr_pre = dn_pre * rfac
         dgh = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=1)
-        dgi = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
-        dw_ref[:] += jnp.dot(h_prev.T, dgh, preferred_element_type=jnp.float32)
-        db_ref[:] += jnp.sum(dgh, axis=0, keepdims=True)
+        dgi_ref[u] = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
         dh_out = (
-            jnp.dot(dgh.astype(wt_ref.dtype), wt_ref[:], preferred_element_type=jnp.float32)
+            jnp.dot(dgh.astype(whht_ref.dtype), whht_ref[:], preferred_element_type=jnp.float32)
             + dh * z
         )
-        return dgi, dh_out
+        return dh_out
 
     def step(u, carry):
         dhf, dhb = carry
-        dgif, dhf = one(u, dhf, hpf_ref, dyf_ref, gatesf_ref, wft_ref, dwf_ref, dbf_ref)
-        dgib, dhb = one(u, dhb, hpb_ref, dyb_ref, gatesb_ref, wbt_ref, dwb_ref, dbb_ref)
-        dgif_ref[u] = dgif.astype(dgif_ref.dtype)
-        dgib_ref[u] = dgib.astype(dgib_ref.dtype)
+        dhf = one(u, dhf, hpf_ref, dyf_ref, gatesf_ref, whhtf_ref, dgif_ref)
+        dhb = one(u, dhb, hpb_ref, dyb_ref, gatesb_ref, whhtb_ref, dgib_ref)
         return dhf, dhb
 
-    dhf, dhb = jax.lax.fori_loop(0, gif_ref.shape[0], step, (dhf_ref[:], dhb_ref[:]))
+    dhf, dhb = jax.lax.fori_loop(0, TB, step, (dhf_ref[:], dhb_ref[:]))
     dhf_ref[:] = dhf
     dhb_ref[:] = dhb
 
+    def epilogue(x_ref, hp_ref, gates_ref, dgi_ref, wiht_ref,
+                 dx_ref, dwih_ref, dbih_ref, dwhh_ref, dbhh_ref):
+        dgi = dgi_ref[:].reshape(TB * B, 3 * H)
+        x = x_ref[:].reshape(TB * B, D)
+        hp = hp_ref[:].astype(jnp.float32).reshape(TB * B, H)
+        r = gates_ref[:].reshape(TB * B, 4 * H)[:, 3 * H :]
+        # dgh differs from dgi only in the n slot (scaled by r)
+        dgh = jnp.concatenate([dgi[:, : 2 * H], dgi[:, 2 * H :] * r], axis=1)
+        dx_ref[:] = jnp.dot(
+            dgi.astype(wiht_ref.dtype), wiht_ref[:], preferred_element_type=jnp.float32
+        ).reshape(TB, B, D).astype(dx_ref.dtype)
+        dwih_ref[:] += jnp.dot(
+            x.T.astype(jnp.float32), dgi, preferred_element_type=jnp.float32
+        )
+        dbih_ref[:] += jnp.sum(dgi, axis=0, keepdims=True)
+        dwhh_ref[:] += jnp.dot(hp.T, dgh, preferred_element_type=jnp.float32)
+        dbhh_ref[:] += jnp.sum(dgh, axis=0, keepdims=True)
 
-def _bidir_bwd_call(gi_f, gi_b, hp_f, hp_b, dy_f, dy_b, w_f, b_f, w_b, b_b):
-    Tp, B, threeH = gi_f.shape
-    H = threeH // 3
-    dt = gi_f.dtype
-    TB = BWD_TIME_BLOCK
-    stream3 = pl.BlockSpec((TB, B, threeH), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    stream1 = pl.BlockSpec((TB, B, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    fixed_w = pl.BlockSpec((H, threeH), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    epilogue(xf_ref, hpf_ref, gatesf_ref, dgif_ref, wihtf_ref,
+             dxf_ref, dwihf_ref, dbihf_ref, dwhhf_ref, dbhhf_ref)
+    epilogue(xb_ref, hpb_ref, gatesb_ref, dgib_ref, wihtb_ref,
+             dxb_ref, dwihb_ref, dbihb_ref, dwhhb_ref, dbhhb_ref)
+
+
+def _fused_bwd_call(x_f, x_b, hp_f, hp_b, dy_f, dy_b,
+                    wih_f, bih_f, whh_f, bhh_f,
+                    wih_b, bih_b, whh_b, bhh_b, tb: int):
+    Tp, B, D = x_f.shape
+    H = whh_f.shape[0]
+    threeH = 3 * H
+    dt = x_f.dtype
+    stream_x = pl.BlockSpec((tb, B, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    stream_h = pl.BlockSpec((tb, B, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    fixed_ih = pl.BlockSpec((D, threeH), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    fixed_hh = pl.BlockSpec((H, threeH), lambda i: (0, 0), memory_space=pltpu.VMEM)
     fixed_b = pl.BlockSpec((1, threeH), lambda i: (0, 0), memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    grads_shape = [
+        jax.ShapeDtypeStruct((D, threeH), jnp.float32),
+        jax.ShapeDtypeStruct((1, threeH), jnp.float32),
+        jax.ShapeDtypeStruct((H, threeH), jnp.float32),
+        jax.ShapeDtypeStruct((1, threeH), jnp.float32),
+    ]
     return pl.pallas_call(
-        _bidir_bwd_kernel,
-        grid=(Tp // TB,),
-        in_specs=[stream3, stream3, stream1, stream1, stream1, stream1,
-                  full, full, full, full, full, full],
-        out_specs=[stream3, stream3, fixed_w, fixed_b, fixed_w, fixed_b],
+        _fused_bwd_kernel,
+        grid=(Tp // tb,),
+        in_specs=[stream_x, stream_x, stream_h, stream_h, stream_h, stream_h]
+                 + [full] * 12,
+        out_specs=[stream_x, stream_x,
+                   fixed_ih, fixed_b, fixed_hh, fixed_b,
+                   fixed_ih, fixed_b, fixed_hh, fixed_b],
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, B, threeH), dt),
-            jax.ShapeDtypeStruct((Tp, B, threeH), dt),
-            jax.ShapeDtypeStruct((H, threeH), jnp.float32),
-            jax.ShapeDtypeStruct((1, threeH), jnp.float32),
-            jax.ShapeDtypeStruct((H, threeH), jnp.float32),
-            jax.ShapeDtypeStruct((1, threeH), jnp.float32),
-        ],
+            jax.ShapeDtypeStruct((Tp, B, D), dt),
+            jax.ShapeDtypeStruct((Tp, B, D), dt),
+        ] + grads_shape + grads_shape,
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((TB, B, 4 * H), jnp.float32),
-            pltpu.VMEM((TB, B, 4 * H), jnp.float32),
+            pltpu.VMEM((tb, B, 4 * H), jnp.float32),
+            pltpu.VMEM((tb, B, 4 * H), jnp.float32),
+            pltpu.VMEM((tb, B, 3 * H), jnp.float32),
+            pltpu.VMEM((tb, B, 3 * H), jnp.float32),
         ],
         interpret=_interpret(),
-    )(gi_f, gi_b, hp_f, hp_b, dy_f, dy_b,
-      w_f.astype(dt), w_f.T.astype(dt), b_f, w_b.astype(dt), w_b.T.astype(dt), b_b)
+    )(x_f, x_b, hp_f, hp_b, dy_f, dy_b,
+      wih_f.astype(dt), wih_f.T.astype(dt), bih_f[None, :],
+      whh_f.astype(dt), whh_f.T.astype(dt), bhh_f[None, :],
+      wih_b.astype(dt), wih_b.T.astype(dt), bih_b[None, :],
+      whh_b.astype(dt), whh_b.T.astype(dt), bhh_b[None, :])
 
 
 _BIGRU_CACHE: dict = {}
 
 
-def _bigru_seq_for(tb: int):
-    """Block-size-keyed joint-bidirectional GRU with custom VJP.
+def _bigru_seq_for(tb_fwd: int, tb_bwd: int):
+    """Block-size-keyed fused joint-bidirectional GRU with custom VJP.
 
-    The forward block size is a trace-time constant: training uses
-    TIME_BLOCK (tuned with the backward kernel in mind), inference-only
-    traces can use a larger block (fewer grid iterations; the backward
-    kernel keeps its own BWD_TIME_BLOCK regardless).
+    Block sizes are trace-time constants: training uses (TIME_BLOCK,
+    BWD_TIME_BLOCK) scaled down by ``_auto_tb`` for large batches;
+    inference-only traces can use a larger forward block (fewer grid
+    iterations; the backward block is independent).
     """
-    if tb in _BIGRU_CACHE:
-        return _BIGRU_CACHE[tb]
+    key = (tb_fwd, tb_bwd)
+    if key in _BIGRU_CACHE:
+        return _BIGRU_CACHE[key]
 
     @jax.custom_vjp
-    def _bigru_seq(gi_f, gi_b, w_f, b_f, w_b, b_b):
-        """Joint bidirectional GRU over processing-order gate streams.
+    def _bigru_seq(x_f, x_b, wih_f, bih_f, whh_f, bhh_f, wih_b, bih_b, whh_b, bhh_b):
+        """Joint bidirectional GRU over processing-order input streams.
 
-        gi_f: forward gates (Tp, B, 3H); gi_b: backward gates, ALREADY
-        time-flipped to processing order. Returns (h_f, h_b) in processing
-        order.
+        x_f: forward-direction inputs (Tp, B, D); x_b: backward-direction
+        inputs, ALREADY arranged in that direction's processing order.
+        Returns (h_f, h_b) in processing order.
         """
-        return tuple(_bidir_fwd_call(gi_f, gi_b, w_f, b_f[None, :], w_b, b_b[None, :], tb))
+        return tuple(_fused_fwd_call(
+            x_f, x_b, wih_f, bih_f, whh_f, bhh_f, wih_b, bih_b, whh_b, bhh_b, tb_fwd
+        ))
 
-    def _bigru_seq_fwd(gi_f, gi_b, w_f, b_f, w_b, b_b):
-        h_f, h_b = _bidir_fwd_call(gi_f, gi_b, w_f, b_f[None, :], w_b, b_b[None, :], tb)
-        return (h_f, h_b), (gi_f, gi_b, h_f, h_b, w_f, b_f, w_b, b_b)
+    def _fwd(x_f, x_b, wih_f, bih_f, whh_f, bhh_f, wih_b, bih_b, whh_b, bhh_b):
+        h_f, h_b = _fused_fwd_call(
+            x_f, x_b, wih_f, bih_f, whh_f, bhh_f, wih_b, bih_b, whh_b, bhh_b, tb_fwd
+        )
+        return (h_f, h_b), (x_f, x_b, h_f, h_b,
+                            wih_f, bih_f, whh_f, bhh_f, wih_b, bih_b, whh_b, bhh_b)
 
-    def _bigru_seq_bwd(res, dY):
-        gi_f, gi_b, h_f, h_b, w_f, b_f, w_b, b_b = res
+    def _bwd(res, dY):
+        (x_f, x_b, h_f, h_b,
+         wih_f, bih_f, whh_f, bhh_f, wih_b, bih_b, whh_b, bhh_b) = res
         dy_f, dy_b = dY
-        Tp, B, _ = gi_f.shape
+        Tp, B, _ = x_f.shape
         H = h_f.shape[-1]
         zero = jnp.zeros((1, B, H), h_f.dtype)
         hp_f = jnp.concatenate([zero, h_f[:-1]], axis=0)
         hp_b = jnp.concatenate([zero, h_b[:-1]], axis=0)
         flip = lambda a: jnp.flip(a, axis=0)  # noqa: E731
-        dgi_f, dgi_b, dw_f, db_f, dw_b, db_b = _bidir_bwd_call(
-            flip(gi_f), flip(gi_b), flip(hp_f), flip(hp_b), flip(dy_f), flip(dy_b),
-            w_f, b_f[None, :], w_b, b_b[None, :],
+        (dx_f, dx_b, dwih_f, dbih_f, dwhh_f, dbhh_f,
+         dwih_b, dbih_b, dwhh_b, dbhh_b) = _fused_bwd_call(
+            flip(x_f), flip(x_b), flip(hp_f), flip(hp_b), flip(dy_f), flip(dy_b),
+            wih_f, bih_f, whh_f, bhh_f, wih_b, bih_b, whh_b, bhh_b, tb_bwd,
         )
-        return flip(dgi_f), flip(dgi_b), dw_f, db_f[0], dw_b, db_b[0]
+        return (flip(dx_f), flip(dx_b),
+                dwih_f, dbih_f[0], dwhh_f, dbhh_f[0],
+                dwih_b, dbih_b[0], dwhh_b, dbhh_b[0])
 
-    _bigru_seq.defvjp(_bigru_seq_fwd, _bigru_seq_bwd)
-    _BIGRU_CACHE[tb] = _bigru_seq
+    _bigru_seq.defvjp(_fwd, _bwd)
+    _BIGRU_CACHE[key] = _bigru_seq
     return _bigru_seq
 
 
@@ -470,41 +566,35 @@ def _run_direction(params_dir, x, reverse: bool):
     return jnp.swapaxes(out, 0, 1)  # (B, T, H)
 
 
-def _gates(params_dir, x):
-    """(B, T, D) -> time-major input gates (T, B, 3H), one MXU matmul.
-
-    The gate stream inherits x's dtype: with bfloat16 activations the MXU
-    still accumulates in f32 but the stored stream (the kernels' dominant
-    HBM traffic) is half-width. Params stay f32 masters (grads accumulate
-    back through the casts).
-    """
-    dt = x.dtype
-    gi = (
-        jnp.dot(x, params_dir["w_ih"].astype(dt), preferred_element_type=dt)
-        + params_dir["b_ih"].astype(dt)
-    )
-    return jnp.swapaxes(gi, 0, 1)
-
-
-def _bigru_streams(params, gi_f, gi_b, tb: int):
-    """Joint kernel over two *processing-order* gate streams (T, B, 3H).
+def _bigru_streams(params, x_f_bt, x_b_bt, tb: int | None):
+    """Fused joint kernel over two *processing-order* input streams (B, T, D).
 
     Returns (h_f, h_b), each (B, T, H) in its stream's own processing order.
     Callers own any time reversal (plain flip for the standard bidirectional
     layer, per-example ``reverse_padded`` for the length-masked path).
     """
-    # padded length must satisfy both the fwd block and the bwd kernel block
-    quant = max(tb, BWD_TIME_BLOCK)
-    T = gi_f.shape[0]
+    B, T, _ = x_f_bt.shape
+    # Tiny batches (single-utterance decode) use a larger forward block:
+    # per-block VMEM is no constraint there, and fewer grid iterations
+    # amortize the in-kernel input projection that small batches can't.
+    tb_f = tb or (64 if B <= 8 else _auto_tb(TIME_BLOCK, B))
+    tb_b = _auto_tb(BWD_TIME_BLOCK, B)
+    x_f = jnp.swapaxes(x_f_bt, 0, 1)
+    x_b = jnp.swapaxes(x_b_bt, 0, 1)
+    # padded length must satisfy both grids (both blocks are powers of two);
+    # padding sits at the tail of each direction's processing order, so the
+    # h0 = 0 carry enters the valid region untouched
+    quant = max(tb_f, tb_b)
     Tp = -(-T // quant) * quant
     if Tp != T:
         pad = ((0, Tp - T), (0, 0), (0, 0))
-        gi_f = jnp.pad(gi_f, pad)
-        gi_b = jnp.pad(gi_b, pad)
-    h_f, h_b = _bigru_seq_for(tb)(
-        gi_f, gi_b,
-        params["fwd"]["w_hh"], params["fwd"]["b_hh"],
-        params["bwd"]["w_hh"], params["bwd"]["b_hh"],
+        x_f = jnp.pad(x_f, pad)
+        x_b = jnp.pad(x_b, pad)
+    f, b = params["fwd"], params["bwd"]
+    h_f, h_b = _bigru_seq_for(tb_f, tb_b)(
+        x_f, x_b,
+        f["w_ih"], f["b_ih"], f["w_hh"], f["b_hh"],
+        b["w_ih"], b["b_ih"], b["w_hh"], b["b_hh"],
     )
     return jnp.swapaxes(h_f[:T], 0, 1), jnp.swapaxes(h_b[:T], 0, 1)
 
@@ -513,16 +603,14 @@ def gru_apply_pallas(params, x, time_block: int | None = None):
     """Bidirectional (or uni) GRU via the fused kernels. x: (B, T, D).
 
     Differentiable: gradients flow through the custom-VJP backward kernels.
-    Bidirectional layers use the joint kernel (both directions stepped in the
-    same grid iteration). ``time_block`` overrides the forward grid block
-    (e.g. 64 for inference-only traces).
+    Bidirectional layers use the fully-fused joint kernel (both directions
+    stepped in the same grid iteration, input projection in-kernel).
+    ``time_block`` overrides the forward grid block (e.g. 64 for
+    inference-only traces).
     """
     if "bwd" not in params:
         return _run_direction(params["fwd"], x, reverse=False)
-    tb = time_block or TIME_BLOCK
-    gi_f = _gates(params["fwd"], x)
-    gi_b = jnp.flip(_gates(params["bwd"], x), axis=0)  # processing order
-    out_f, h_b = _bigru_streams(params, gi_f, gi_b, tb)
+    out_f, h_b = _bigru_streams(params, x, jnp.flip(x, axis=1), time_block)
     out_b = jnp.flip(h_b, axis=1)
     return jnp.concatenate([out_f, out_b], axis=-1)
 
@@ -535,7 +623,4 @@ def bigru_apply_pallas_streams(params, x_fwd, x_bwd, time_block: int | None = No
     prefix as ``x_bwd``). Returns (out_f, out_b), both (B, T, H), in
     processing order — the caller undoes the reversal.
     """
-    tb = time_block or TIME_BLOCK
-    gi_f = _gates(params["fwd"], x_fwd)
-    gi_b = _gates(params["bwd"], x_bwd)
-    return _bigru_streams(params, gi_f, gi_b, tb)
+    return _bigru_streams(params, x_fwd, x_bwd, time_block)
