@@ -104,3 +104,21 @@ def test_edge_shapes(rng, B, T):
     ref = ops.gru_apply(params, x, impl="scan")
     got = gru_apply_pallas(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("B", [96, 160])
+def test_large_batch_auto_blocks(rng, B):
+    """B > 64 shrinks the fwd/bwd time blocks (_auto_tb — the VMEM guard the
+    driver bench hits at B=128/256); forward AND gradients stay exact."""
+    T, D, H = 13, 6, 8
+    x = jnp.asarray(rng.standard_normal((B, T, D), dtype=np.float32))
+    params = ops.gru_init(jax.random.PRNGKey(6), D, H, bidirectional=True)
+    ref = ops.gru_apply(params, x, impl="scan")
+    got = gru_apply_pallas(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    wout = jnp.asarray(rng.standard_normal((B, T, 2 * H), dtype=np.float32))
+    ref_g = jax.grad(lambda p: jnp.sum(ops.gru_apply(p, x, impl="scan") * wout))(params)
+    got_g = jax.grad(lambda p: jnp.sum(gru_apply_pallas(p, x) * wout))(params)
+    for a, b in zip(jax.tree.leaves(ref_g), jax.tree.leaves(got_g)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
