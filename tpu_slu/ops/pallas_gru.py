@@ -2,26 +2,30 @@
 
 The scan-based GRU in ``ops/gru.py`` launches one tiny (B,H)x(H,3H) matmul
 per step with the hidden state round-tripping through HBM. These kernels keep
-``h`` and ``W_hh`` in VMEM for the whole sequence and stream the precomputed
-input-gate tensor block-by-block over a sequential time grid (Pallas
-double-buffers the block DMAs automatically) — the memory-bandwidth-optimal
-shape for the reference's hot loop A (SURVEY.md §3: 4-5 stacked bi-GRUs
-dominate runtime). Measured 2x on the full encoder forward vs the scan.
+``h`` and ALL four weight matrices in VMEM for the whole sequence, stream the
+raw (T, B, D) layer inputs block-by-block over a sequential time grid (Pallas
+double-buffers the block DMAs automatically), and compute the input-gate
+projection ``gi = x @ W_ih + b_ih`` INSIDE the kernel as one batched MXU
+matmul per block — the (T, B, 3H) gate tensors never touch HBM. This is the
+memory-optimal shape for the reference's hot loop A (SURVEY.md §3: 4-5
+stacked bi-GRUs dominate runtime): 4.1x on the full train step vs the scan.
 
-Structure:
+Structure (see docs/KERNELS.md for the full design + measured tuning):
 
-* ``_gru_seq(gi, w_hh, b_hh)`` — the custom-VJP core over *processing-order*
-  time-major gates (Tp, B, 3H), Tp padded to TIME_BLOCK. Direction reversal
-  and padding live outside in differentiable XLA ops (flip/pad/slice), so one
-  kernel pair serves both directions.
-* Backward recomputes the hidden-side gate pre-activations from the saved
-  output sequence (one extra matmul per step) instead of storing per-gate
-  residuals — residual memory is just the forward output.
-* Zero-padding analysis: the padded region has gi = 0, dY = 0, and h_prev
-  explicitly zeroed, which makes every padded step's contribution exactly 0
-  (dh stays 0 through the padded prefix of the reversed walk) — no masking
-  needed.
-* dW_hh / db_hh accumulate into fixed-index output blocks revisited across
+* ``_bigru_seq_for`` / ``_gru1_seq_for`` — block-size-keyed custom-VJP cores
+  over *processing-order* time-major inputs (Tp, B, D), Tp padded to the
+  block quantum. Direction arrangement (flip / per-example reversal) and
+  padding live outside in differentiable XLA ops, so one kernel pair serves
+  any direction arrangement.
+* Backward kernels recompute gi and the hidden-side pre-activations in a
+  batched per-block prologue (residual memory is just the forward output),
+  run only the dh chain serially, and fold dX/dW_ih/dW_hh/biases into a
+  batched per-block epilogue — a single matmul on the critical path.
+* Zero-padding analysis: padded steps sit at the END of processing order
+  with dY = 0, so dh stays 0 through the padded prefix of the reversed walk
+  and every padded step's contribution is exactly 0 (the garbage gates
+  computed from gi = b_ih there are multiplied by zeros) — no masking needed.
+* dW / db accumulate into fixed-index output blocks revisited across
   sequential grid steps.
 
 Gate math matches PyTorch exactly (see ops/gru.py).
@@ -52,136 +56,156 @@ def _interpret() -> bool:
 
 
 # ---------------------------------------------------------------------------
-# Forward kernel
+# Fused unidirectional kernels (same design as the joint kernels below,
+# minus the second direction; used for non-bidirectional layers)
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(gi_ref, w_hh_ref, b_hh_ref, out_ref, h_ref):
-    """One time-block: gi (TB, B, 3H) -> h outputs (TB, B, H)."""
-
+def _fused1_fwd_kernel(x_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
+                       out_ref, h_ref, gi_ref):
     @pl.when(pl.program_id(0) == 0)
     def _():
         h_ref[:] = jnp.zeros_like(h_ref)
 
+    TB, B, D = x_ref.shape
+    H = h_ref.shape[-1]
+    gi_ref[:] = (
+        jnp.dot(x_ref[:].reshape(TB * B, D), wih_ref[:], preferred_element_type=jnp.float32)
+        + bih_ref[0].astype(jnp.float32)
+    ).reshape(TB, B, 3 * H)
+
     def step(u, h):
-        gi = gi_ref[u]  # (B, 3H)
-        gh = jnp.dot(h, w_hh_ref[:], preferred_element_type=jnp.float32) + b_hh_ref[0]
-        H = h.shape[-1]
+        gi = gi_ref[u]
+        gh = (
+            jnp.dot(h.astype(whh_ref.dtype), whh_ref[:], preferred_element_type=jnp.float32)
+            + bhh_ref[0].astype(jnp.float32)
+        )
         r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
         z = jax.nn.sigmoid(gi[:, H : 2 * H] + gh[:, H : 2 * H])
         n = jnp.tanh(gi[:, 2 * H :] + r * gh[:, 2 * H :])
         h_new = (1.0 - z) * n + z * h
-        out_ref[u] = h_new
+        out_ref[u] = h_new.astype(out_ref.dtype)
         return h_new
 
-    h_ref[:] = jax.lax.fori_loop(0, gi_ref.shape[0], step, h_ref[:])
+    h_ref[:] = jax.lax.fori_loop(0, TB, step, h_ref[:])
 
 
-def _fwd_call(gi, w_hh, b_hh):
-    Tp, B, threeH = gi.shape
-    H = threeH // 3
+def _fused1_fwd_call(x, wih, bih, whh, bhh, tb: int):
+    Tp, B, D = x.shape
+    H = whh.shape[0]
+    dt = x.dtype
+    stream_x = pl.BlockSpec((tb, B, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    stream_h = pl.BlockSpec((tb, B, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _fwd_kernel,
-        grid=(Tp // TIME_BLOCK,),
-        in_specs=[
-            pl.BlockSpec((TIME_BLOCK, B, threeH), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+        _fused1_fwd_kernel,
+        grid=(Tp // tb,),
+        in_specs=[stream_x] + [full] * 4,
+        out_specs=stream_h,
+        out_shape=jax.ShapeDtypeStruct((Tp, B, H), dt),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((tb, B, 3 * H), jnp.float32),
         ],
-        out_specs=pl.BlockSpec((TIME_BLOCK, B, H), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
         interpret=_interpret(),
-    )(gi, w_hh, b_hh)
+    )(x, wih.astype(dt), bih[None, :], whh.astype(dt), bhh[None, :])
 
 
-# ---------------------------------------------------------------------------
-# Backward kernel (processes the time-reversed sequence "forward")
-# ---------------------------------------------------------------------------
-
-
-def _bwd_kernel(gi_ref, hprev_ref, dy_ref, w_hh_ref, w_hh_t_ref, b_hh_ref,
-                dgi_ref, dw_ref, db_ref, dh_ref):
-    """One reversed time-block.
-
-    Inputs are time-flipped: index u walks original steps backwards.
-    dh scratch carries dL/dh_{t-1}; dW/db accumulate in fixed output blocks.
-    """
-
+def _fused1_bwd_kernel(x_ref, hp_ref, dy_ref,
+                       wih_ref, wiht_ref, bih_ref, whh_ref, whht_ref, bhh_ref,
+                       dx_ref, dwih_ref, dbih_ref, dwhh_ref, dbhh_ref,
+                       dh_ref, gates_ref, dgi_ref):
+    """Unidirectional version of ``_fused_bwd_kernel`` (see its docstring)."""
     @pl.when(pl.program_id(0) == 0)
     def _():
-        dh_ref[:] = jnp.zeros_like(dh_ref)
-        dw_ref[:] = jnp.zeros_like(dw_ref)
-        db_ref[:] = jnp.zeros_like(db_ref)
+        for ref in (dh_ref, dwih_ref, dbih_ref, dwhh_ref, dbhh_ref):
+            ref[:] = jnp.zeros_like(ref)
 
-    def step(u, carry):
-        dh_in = carry
-        gi = gi_ref[u]
-        h_prev = hprev_ref[u]
-        dh = dh_in + dy_ref[u]
-        gh = jnp.dot(h_prev, w_hh_ref[:], preferred_element_type=jnp.float32) + b_hh_ref[0]
-        H = h_prev.shape[-1]
-        r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
-        z = jax.nn.sigmoid(gi[:, H : 2 * H] + gh[:, H : 2 * H])
-        gh_n = gh[:, 2 * H :]
-        n = jnp.tanh(gi[:, 2 * H :] + r * gh_n)
+    TB, B, D = x_ref.shape
+    H = hp_ref.shape[-1]
 
-        dn = dh * (1.0 - z)
-        dz = dh * (h_prev - n)
-        dn_pre = dn * (1.0 - n * n)
-        dr = dn_pre * gh_n
-        dr_pre = dr * r * (1.0 - r)
-        dz_pre = dz * z * (1.0 - z)
+    gi = (
+        jnp.dot(x_ref[:].reshape(TB * B, D), wih_ref[:], preferred_element_type=jnp.float32)
+        + bih_ref[0].astype(jnp.float32)
+    )
+    hp = hp_ref[:].astype(jnp.float32).reshape(TB * B, H)
+    gh = (
+        jnp.dot(hp.astype(whh_ref.dtype), whh_ref[:], preferred_element_type=jnp.float32)
+        + bhh_ref[0].astype(jnp.float32)
+    )
+    r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
+    z = jax.nn.sigmoid(gi[:, H : 2 * H] + gh[:, H : 2 * H])
+    gh_n = gh[:, 2 * H :]
+    n = jnp.tanh(gi[:, 2 * H :] + r * gh_n)
+    gates_ref[:] = jnp.concatenate(
+        [gh_n * r * (1.0 - r), z, n, r], axis=1
+    ).reshape(TB, B, 4 * H)
 
-        dgh = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=1)  # (B, 3H)
-        dgi = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
-        dgi_ref[u] = dgi
-
-        dw_ref[:] += jnp.dot(h_prev.T, dgh, preferred_element_type=jnp.float32)
-        db_ref[:] += jnp.sum(dgh, axis=0, keepdims=True)
-
-        dh_out = (
-            jnp.dot(dgh, w_hh_t_ref[:], preferred_element_type=jnp.float32) + dh * z
+    def step(u, dh_in):
+        h_prev = hp_ref[u].astype(jnp.float32)
+        dh = dh_in + dy_ref[u].astype(jnp.float32)
+        g = gates_ref[u]
+        rfac = g[:, :H]
+        z = g[:, H : 2 * H]
+        n = g[:, 2 * H : 3 * H]
+        r = g[:, 3 * H :]
+        dn_pre = dh * (1.0 - z) * (1.0 - n * n)
+        dz_pre = dh * (h_prev - n) * z * (1.0 - z)
+        dr_pre = dn_pre * rfac
+        dgh = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=1)
+        dgi_ref[u] = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
+        return (
+            jnp.dot(dgh.astype(whht_ref.dtype), whht_ref[:], preferred_element_type=jnp.float32)
+            + dh * z
         )
-        return dh_out
 
-    dh_ref[:] = jax.lax.fori_loop(0, gi_ref.shape[0], step, dh_ref[:])
+    dh_ref[:] = jax.lax.fori_loop(0, TB, step, dh_ref[:])
+
+    dgi = dgi_ref[:].reshape(TB * B, 3 * H)
+    x = x_ref[:].reshape(TB * B, D)
+    r_all = gates_ref[:].reshape(TB * B, 4 * H)[:, 3 * H :]
+    dgh_all = jnp.concatenate([dgi[:, : 2 * H], dgi[:, 2 * H :] * r_all], axis=1)
+    dx_ref[:] = jnp.dot(
+        dgi.astype(wiht_ref.dtype), wiht_ref[:], preferred_element_type=jnp.float32
+    ).reshape(TB, B, D).astype(dx_ref.dtype)
+    dwih_ref[:] += jnp.dot(x.T.astype(jnp.float32), dgi, preferred_element_type=jnp.float32)
+    dbih_ref[:] += jnp.sum(dgi, axis=0, keepdims=True)
+    dwhh_ref[:] += jnp.dot(hp.T, dgh_all, preferred_element_type=jnp.float32)
+    dbhh_ref[:] += jnp.sum(dgh_all, axis=0, keepdims=True)
 
 
-def _bwd_call(gi_f, hprev_f, dy_f, w_hh, b_hh):
-    Tp, B, threeH = gi_f.shape
-    H = threeH // 3
-    dgi_f, dw, db = pl.pallas_call(
-        _bwd_kernel,
-        grid=(Tp // TIME_BLOCK,),
-        in_specs=[
-            pl.BlockSpec((TIME_BLOCK, B, threeH), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TIME_BLOCK, B, H), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TIME_BLOCK, B, H), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # W_hh
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # W_hh^T
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # b_hh (1, 3H)
-        ],
-        out_specs=[
-            pl.BlockSpec((TIME_BLOCK, B, threeH), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, threeH), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, threeH), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+def _fused1_bwd_call(x, hp, dy, wih, bih, whh, bhh, tb: int):
+    Tp, B, D = x.shape
+    H = whh.shape[0]
+    threeH = 3 * H
+    dt = x.dtype
+    stream_x = pl.BlockSpec((tb, B, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    stream_h = pl.BlockSpec((tb, B, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    fixed_ih = pl.BlockSpec((D, threeH), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    fixed_hh = pl.BlockSpec((H, threeH), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    fixed_b = pl.BlockSpec((1, threeH), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _fused1_bwd_kernel,
+        grid=(Tp // tb,),
+        in_specs=[stream_x, stream_h, stream_h] + [full] * 6,
+        out_specs=[stream_x, fixed_ih, fixed_b, fixed_hh, fixed_b],
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, B, threeH), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, B, D), dt),
+            jax.ShapeDtypeStruct((D, threeH), jnp.float32),
+            jax.ShapeDtypeStruct((1, threeH), jnp.float32),
             jax.ShapeDtypeStruct((H, threeH), jnp.float32),
             jax.ShapeDtypeStruct((1, threeH), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((tb, B, 4 * H), jnp.float32),
+            pltpu.VMEM((tb, B, 3 * H), jnp.float32),
+        ],
         interpret=_interpret(),
-    )(gi_f, hprev_f, dy_f, w_hh, w_hh.T, b_hh)
-    return dgi_f, dw, db
+    )(x, hp, dy,
+      wih.astype(dt), wih.T.astype(dt), bih[None, :],
+      whh.astype(dt), whh.T.astype(dt), bhh[None, :])
 
 
 # ---------------------------------------------------------------------------
@@ -514,32 +538,34 @@ def _bigru_seq_for(tb_fwd: int, tb_bwd: int):
 # ---------------------------------------------------------------------------
 
 
-@jax.custom_vjp
-def _gru_seq(gi, w_hh, b_hh):
-    """Processing-order GRU: gi (Tp, B, 3H) -> h (Tp, B, H). h0 = 0."""
-    return _fwd_call(gi, w_hh, b_hh[None, :])
+def _gru1_seq_for(tb_fwd: int, tb_bwd: int):
+    key = ("uni", tb_fwd, tb_bwd)
+    if key in _BIGRU_CACHE:
+        return _BIGRU_CACHE[key]
 
+    @jax.custom_vjp
+    def _gru1_seq(x, wih, bih, whh, bhh):
+        """Processing-order fused GRU: x (Tp, B, D) -> h (Tp, B, H). h0 = 0."""
+        return _fused1_fwd_call(x, wih, bih, whh, bhh, tb_fwd)
 
-def _gru_seq_fwd(gi, w_hh, b_hh):
-    h_seq = _fwd_call(gi, w_hh, b_hh[None, :])
-    return h_seq, (gi, h_seq, w_hh, b_hh)
+    def _fwd(x, wih, bih, whh, bhh):
+        h_seq = _fused1_fwd_call(x, wih, bih, whh, bhh, tb_fwd)
+        return h_seq, (x, h_seq, wih, bih, whh, bhh)
 
+    def _bwd(res, dY):
+        x, h_seq, wih, bih, whh, bhh = res
+        Tp, B, _ = x.shape
+        H = h_seq.shape[-1]
+        hprev = jnp.concatenate([jnp.zeros((1, B, H), h_seq.dtype), h_seq[:-1]], axis=0)
+        flip = lambda a: jnp.flip(a, axis=0)  # noqa: E731
+        dx, dwih, dbih, dwhh, dbhh = _fused1_bwd_call(
+            flip(x), flip(hprev), flip(dY), wih, bih, whh, bhh, tb_bwd
+        )
+        return flip(dx), dwih, dbih[0], dwhh, dbhh[0]
 
-def _gru_seq_bwd(res, dY):
-    gi, h_seq, w_hh, b_hh = res
-    Tp, B, _ = gi.shape
-    H = h_seq.shape[-1]
-    # h_{t-1} stream with the padded tail zeroed (see module docstring).
-    hprev = jnp.concatenate([jnp.zeros((1, B, H), h_seq.dtype), h_seq[:-1]], axis=0)
-    gi_f = jnp.flip(gi, axis=0)
-    hprev_f = jnp.flip(hprev, axis=0)
-    dy_f = jnp.flip(dY, axis=0)
-    dgi_f, dw, db = _bwd_call(gi_f, hprev_f, dy_f, w_hh, b_hh[None, :])
-    # cotangent dtype must match the (possibly bf16) primal gate stream
-    return jnp.flip(dgi_f, axis=0).astype(gi.dtype), dw, db[0]
-
-
-_gru_seq.defvjp(_gru_seq_fwd, _gru_seq_bwd)
+    _gru1_seq.defvjp(_fwd, _bwd)
+    _BIGRU_CACHE[key] = _gru1_seq
+    return _gru1_seq
 
 
 # ---------------------------------------------------------------------------
@@ -547,19 +573,21 @@ _gru_seq.defvjp(_gru_seq_fwd, _gru_seq_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _run_direction(params_dir, x, reverse: bool):
+def _run_direction(params_dir, x, reverse: bool, tb: int | None = None):
     B, T, _ = x.shape
-    gi = (
-        jnp.dot(x, params_dir["w_ih"], preferred_element_type=jnp.float32)
-        + params_dir["b_ih"]
-    )  # (B, T, 3H) — one large MXU matmul
-    gi = jnp.swapaxes(gi, 0, 1)  # (T, B, 3H)
+    tb_f = tb or (64 if B <= 8 else _auto_tb(TIME_BLOCK, B))
+    tb_b = _auto_tb(BWD_TIME_BLOCK, B)
+    xs = jnp.swapaxes(x, 0, 1)  # (T, B, D)
     if reverse:
-        gi = jnp.flip(gi, axis=0)
-    Tp = -(-T // TIME_BLOCK) * TIME_BLOCK
+        xs = jnp.flip(xs, axis=0)
+    quant = max(tb_f, tb_b)
+    Tp = -(-T // quant) * quant
     if Tp != T:
-        gi = jnp.pad(gi, ((0, Tp - T), (0, 0), (0, 0)))
-    out = _gru_seq(gi, params_dir["w_hh"], params_dir["b_hh"])
+        xs = jnp.pad(xs, ((0, Tp - T), (0, 0), (0, 0)))
+    out = _gru1_seq_for(tb_f, tb_b)(
+        xs, params_dir["w_ih"], params_dir["b_ih"],
+        params_dir["w_hh"], params_dir["b_hh"],
+    )
     out = out[:T]
     if reverse:
         out = jnp.flip(out, axis=0)
@@ -609,7 +637,7 @@ def gru_apply_pallas(params, x, time_block: int | None = None):
     inference-only traces).
     """
     if "bwd" not in params:
-        return _run_direction(params["fwd"], x, reverse=False)
+        return _run_direction(params["fwd"], x, reverse=False, tb=time_block)
     out_f, h_b = _bigru_streams(params, x, jnp.flip(x, axis=1), time_block)
     out_b = jnp.flip(h_b, axis=1)
     return jnp.concatenate([out_f, out_b], axis=-1)
