@@ -229,7 +229,11 @@ def _fused1_bwd_call(x, hp, dy, wih, bih, whh, bhh, tb: int):
 # for the length-masked path), so the step loop is identical for both.
 # ---------------------------------------------------------------------------
 
-BWD_TIME_BLOCK = 8  # the joint backward kernel streams many block operands
+# 16 since the projection fusion: the backward kernel no longer streams the
+# 3H gate tensors, so the larger block fits scoped VMEM at B=64 and measured
+# best in the same-process (fwd, bwd) block sweep ((16,16) 2.59 ms vs (16,8)
+# 2.91, (32,8) 2.72, (32,16) 2.75); _auto_tb still halves it past B=64.
+BWD_TIME_BLOCK = 16
 
 
 def _auto_tb(base: int, batch: int) -> int:
