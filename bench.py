@@ -241,7 +241,7 @@ def main():
             "len": jnp.full((Bt,), T, jnp.int32),
         }
         mask = jax.device_put(expand_mask(model.params, model.trainable_mask()))
-        p, o = model.params, trainer.opt_state
+        p, o = trainer._params_carry(), trainer.opt_state
 
         def run(k, p, o):
             t0 = time.time()

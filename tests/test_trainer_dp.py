@@ -109,12 +109,14 @@ def test_asr_model_parallel_matches_dp(tmp_path):
                 for _ in range(3)
             ]
         traj = []
+        carry = trainer._params_carry()  # flat vector (mp=1) or tree (mp=2)
         for k, batch in enumerate(batches):
-            model.params, trainer.opt_state, aux = trainer._train_step(
-                model.params, trainer.opt_state, np.int32(k),
+            carry, trainer.opt_state, aux = trainer._train_step(
+                carry, trainer.opt_state, np.int32(k),
                 trainer._place_batch(batch),
             )
             traj.append(float(aux[0]) + float(aux[1]))
+        trainer._set_params_carry(carry)
         trajs[mp] = traj
         if mp == 2:
             # params keep their model sharding through the donated step

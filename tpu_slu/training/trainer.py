@@ -173,9 +173,19 @@ class Trainer:
 
     def _build_steps(self):
         from tpu_slu.ops.gru import resolve_gru_impl
-        from tpu_slu.training.optim import adam_update
+        from tpu_slu.training.optim import adam_update, flat_adam_vector_update
 
-        adam_fn = flat_adam_update if self.model_parallel <= 1 else adam_update
+        # Flat mode (model_parallel <= 1): the train step takes and returns
+        # the RAVELED (P,) param vector; the forward reads bitcast views of
+        # it (the per-step ravel/unravel concatenates cost ~0.2 ms measured).
+        # Tensor-parallel runs keep the tree API (mixed shardings can't live
+        # in one vector).
+        flat_mode = self.model_parallel <= 1
+        if flat_mode:
+            from jax.flatten_util import ravel_pytree
+
+            _, self._unravel = ravel_pytree(self.model.params)
+        adam_fn = flat_adam_update if flat_mode else adam_update
         lr = self.lr
         clip = getattr(self.config, "gradient_clip_norm", 0.0)
         gru_impl = resolve_gru_impl(self.config)
@@ -207,6 +217,7 @@ class Trainer:
                 )
 
             base_rng = self._base_rng
+            unravel = self._unravel if flat_mode else (lambda p: p)
 
             def train_step(params, opt_state, step_idx, batch):
                 # RNG derived INSIDE the jit: a host-side fold_in per step is
@@ -216,7 +227,7 @@ class Trainer:
 
                 def loss_fn(p):
                     pl_, wl, pa, wa = enc.encoder_loss(
-                        p, arch, batch["x"], batch["y_phoneme"], batch["y_word"],
+                        unravel(p), arch, batch["x"], batch["y_phoneme"], batch["y_word"],
                         train=True, rng=rng, gru_impl=gru_impl,
                         compute_dtype=compute_dtype,
                     )
@@ -225,8 +236,13 @@ class Trainer:
 
                 grads, aux = jax.grad(loss_fn, has_aux=True)(params)
                 grads = clip_grads(grads)
-                mask = jax.tree.map(lambda _: 1.0, params)
-                params, opt_state = adam_fn(params, grads, opt_state, mask, lr)
+                if flat_mode:
+                    params, opt_state = flat_adam_vector_update(
+                        params, grads, opt_state, jnp.ones_like(params), lr
+                    )
+                else:
+                    mask = jax.tree.map(lambda _: 1.0, params)
+                    params, opt_state = adam_fn(params, grads, opt_state, mask, lr)
                 return params, opt_state, aux
 
             def eval_step(params, batch):
@@ -292,16 +308,21 @@ class Trainer:
                 return loss_fn
 
         base_rng = self._base_rng
+        unravel = self._unravel if flat_mode else (lambda p: p)
 
         def full_train_step(params, opt_state, mask, step_idx, batch):
             rng = jax.random.fold_in(base_rng, step_idx)  # see ASR step note
-            loss_fn = loss_fn_builder(
+            tree_loss_fn = loss_fn_builder(
                 batch["x"], batch["y_intent"], batch["w"], batch.get("len"), True, rng,
                 y_len=batch.get("y_len"),
             )
+            loss_fn = lambda p: tree_loss_fn(unravel(p))  # noqa: E731
             (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             grads = clip_grads(grads)
-            params, opt_state = adam_fn(params, grads, opt_state, mask, lr)
+            if flat_mode:
+                params, opt_state = flat_adam_vector_update(params, grads, opt_state, mask, lr)
+            else:
+                params, opt_state = adam_fn(params, grads, opt_state, mask, lr)
             return params, opt_state, (loss, acc)
 
         def eval_step(params, batch):
@@ -317,6 +338,25 @@ class Trainer:
     def _next_step_idx(self):
         self._step_count += 1
         return np.int32(self._step_count)
+
+    def _params_carry(self):
+        """The value threaded through the jitted train step: the raveled
+        (P,) vector in flat mode, the param tree under tensor parallelism."""
+        if self.model_parallel > 1:
+            return self.model.params
+        from jax.flatten_util import ravel_pytree
+
+        flat, _ = ravel_pytree(self.model.params)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            flat = jax.device_put(flat, NamedSharding(self.mesh, PartitionSpec()))
+        return flat
+
+    def _set_params_carry(self, carry):
+        self.model.params = (
+            carry if self.model_parallel > 1 else self._unravel(carry)
+        )
 
     # -- checkpointing (reference training.py:23-39) --------------------------
 
@@ -403,12 +443,13 @@ class Trainer:
         t0 = time.time()
         timer = StepTimer()
         profile_dir = getattr(self.config, "profile_dir", None) if self.epoch == 0 else None
+        carry = self._params_carry()
         with profile_trace(profile_dir):
             for idx, (bs, batch) in enumerate(self._batches(dataset)):
                 num_examples += bs
                 with timer.step():
-                    self.model.params, self.opt_state, aux = self._train_step(
-                        self.model.params, self.opt_state, self._next_step_idx(), batch
+                    carry, self.opt_state, aux = self._train_step(
+                        carry, self.opt_state, self._next_step_idx(), batch
                     )
                 pl_, wl, pa, wa = aux
                 totals["phone_loss"] = totals["phone_loss"] + pl_ * bs
@@ -420,6 +461,7 @@ class Trainer:
                     print(f"word loss: {float(wl)}")
                     print(f"phoneme acc: {float(pa)}")
                     print(f"word acc: {float(wa)}")
+        self._set_params_carry(carry)
         keys = list(totals)
         sums = _all_hosts_sum([totals[k] for k in keys] + [num_examples])
         num_examples = float(sums[-1])
@@ -451,18 +493,20 @@ class Trainer:
             # one raveled device vector instead of L host scalars (optim.py)
             mask = jax.device_put(expand_mask(self.model.params, mask))
         profile_dir = getattr(self.config, "profile_dir", None) if self.epoch == 0 else None
+        carry = self._params_carry()
         with profile_trace(profile_dir):
             for idx, (bs, batch) in enumerate(self._batches(dataset)):
                 num_examples += bs
                 with timer.step():
-                    self.model.params, self.opt_state, (loss, acc) = self._train_step(
-                        self.model.params, self.opt_state, mask, self._next_step_idx(), batch
+                    carry, self.opt_state, (loss, acc) = self._train_step(
+                        carry, self.opt_state, mask, self._next_step_idx(), batch
                     )
                 total_loss = total_loss + loss * bs
                 total_acc = total_acc + acc * bs
                 if idx % print_interval == 0:
                     print(f"intent loss: {float(loss)}")
                     print(f"intent acc: {float(acc)}")
+        self._set_params_carry(carry)
         self.model.unfreeze_one_layer()  # per-epoch ULMFiT trigger (training.py:115)
         total_loss, total_acc, num_examples = _all_hosts_sum(
             [total_loss, total_acc, num_examples]
