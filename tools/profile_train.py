@@ -37,50 +37,39 @@ def main():
     from tpu_slu.models import encoder as enc
     from tpu_slu.models import slu as slu_mod
     from tpu_slu.models.slu import Model
-    from tpu_slu.ops.gru import resolve_gru_impl
-    from tpu_slu.training.optim import flat_adam_init, flat_adam_update
+    from tpu_slu.training.optim import expand_mask
+    from tpu_slu.training.trainer import Trainer
     from tpu_slu.utils.profiling import profile_trace
+
+    del enc, slu_mod  # the REAL Trainer jit is what we profile
 
     config = __graft_entry__._make_config(tempfile.mkdtemp(), small=False)
     model = Model(config)
-    earch, iarch = model.encoder_arch, model.intent_arch
-    impl = resolve_gru_impl(config)
+    iarch = model.intent_arch
+    trainer = Trainer(model, config)
 
     B, T = args.batch, int(args.seconds * 16000)
     r = np.random.default_rng(0)
     batch = {
         "x": jnp.asarray(r.standard_normal((B, T), np.float32)),
-        "y": jnp.asarray(
+        "y_intent": jnp.asarray(
             np.stack([r.integers(0, n, B) for n in iarch.values_per_slot], 1).astype(np.int32)
         ),
         "w": jnp.ones((B,), jnp.float32),
+        "len": jnp.full((B,), T, jnp.int32),
     }
-    rng = jax.random.key(0, impl="rbg")
+    mask = jax.device_put(expand_mask(model.params, model.trainable_mask()))
+    p, o = trainer._params_carry(), trainer.opt_state
 
-    @jax.jit
-    def step(params, opt_state, batch):
-        def loss_fn(p):
-            r1, r2 = jax.random.split(rng)
-            feats = enc.encoder_features(
-                p["pretrained_model"], earch, batch["x"], train=True, rng=r1, gru_impl=impl
-            )
-            logits = slu_mod.intent_logits(
-                p["intent_layers"], iarch, feats, train=True, rng=r2, gru_impl=impl
-            )
-            return slu_mod.intent_loss_acc(logits, batch["y"], iarch.values_per_slot, batch["w"])
+    def step(p, o):
+        return trainer._train_step(p, o, mask, trainer._next_step_idx(), batch)
 
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        mask = jax.tree.map(lambda _: 1.0, params)
-        params, opt_state = flat_adam_update(params, grads, opt_state, mask, 1e-3)
-        return params, opt_state, loss
-
-    params, opt = model.params, flat_adam_init(model.params)
-    params, opt, loss = step(params, opt, batch)  # compile outside the trace
+    p, o, (loss, _) = step(p, o)  # compile outside the trace
     np.asarray(loss)
 
     with profile_trace(args.logdir):
         for _ in range(args.steps):
-            params, opt, loss = step(params, opt, batch)
+            p, o, (loss, _) = step(p, o)
         np.asarray(loss)
     print(f"trace for {args.steps} steps written to {args.logdir} (loss={float(loss):.4f})")
 
