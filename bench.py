@@ -116,10 +116,12 @@ def measure_torch_baseline(batch=16, seconds=4.0):
 
 def main():
     parser = argparse.ArgumentParser()
-    # 256 is the measured best-throughput batch for the fwd headline (the
-    # recurrence is latency-bound, so utt/s grows with rows until per-block
-    # VMEM forces tiny time blocks); training efficiency peaks near 128.
-    parser.add_argument("--batch", type=int, default=256)
+    # 128 is the headline batch: utt/s grows with rows (the recurrence is
+    # latency-bound) and 128 keeps the fwd executable ~0.5 MB. 256 measures
+    # slightly faster in good windows but its executable serializes to 30 MB,
+    # which takes ~10 min to load through the dev relay on every process
+    # start — cache hit or not.
+    parser.add_argument("--batch", type=int, default=128)
     parser.add_argument("--seconds", type=float, default=4.0)
     parser.add_argument("--iters", type=int, default=100)
     parser.add_argument("--gru-impl", default="auto",
