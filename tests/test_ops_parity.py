@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 import torch
 
+import jax
 import jax.numpy as jnp
 
 from tpu_slu import ops
@@ -32,6 +33,34 @@ class TestConv1d:
         )
         got = ops.conv1d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), stride, pad)
         np.testing.assert_allclose(np.asarray(got), t2n(ref), rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("stride,pad,k,t", [(80, 200, 401, 8000), (10, 15, 31, 777),
+                                                (4, 0, 13, 505)])
+    def test_framed_fast_path_matches_torch(self, rng, stride, pad, k, t):
+        """Single-input-channel strided convs take the frame-decomposition
+        path (ops/conv.py _conv1d_framed) — forward AND both gradients must
+        match torch exactly (this is the sinc front-end's configuration)."""
+        B, Cout = 2, 5
+        x = rng.standard_normal((B, 1, t), dtype=np.float32)
+        w = rng.standard_normal((Cout, 1, k), dtype=np.float32) * 0.1
+        b = rng.standard_normal((Cout,), dtype=np.float32)
+        co = None
+
+        xt = torch.from_numpy(x).requires_grad_(True)
+        wt = torch.from_numpy(w).requires_grad_(True)
+        ref = torch.nn.functional.conv1d(xt, wt, torch.from_numpy(b),
+                                         stride=stride, padding=pad)
+        got = ops.conv1d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), stride, pad)
+        np.testing.assert_allclose(np.asarray(got), t2n(ref), rtol=1e-4, atol=1e-5)
+
+        co = rng.standard_normal(tuple(ref.shape), dtype=np.float32)
+        ref.backward(torch.from_numpy(co))
+        gx, gw = jax.grad(
+            lambda x, w: jnp.sum(ops.conv1d(x, w, None, stride, pad) * jnp.asarray(co)),
+            argnums=(0, 1),
+        )(jnp.asarray(x), jnp.asarray(w))
+        np.testing.assert_allclose(np.asarray(gx), t2n(xt.grad), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw), t2n(wt.grad), rtol=1e-4, atol=1e-3)
 
 
 class TestPooling:
