@@ -91,6 +91,26 @@ def min_encoder_hbm_bytes(arch, batch: int, t_samples: int) -> int:
     return total
 
 
+def robust_slope(run, iters: int, outer: int = 3):
+    """Best sane two-point slope estimate of per-iteration device time.
+
+    ``run(k)`` executes k queued iterations + one sync and returns wall time.
+    The relay's RPC latency occasionally SPIKES during the 1-iteration
+    baseline, making tk - t1 vanish (or go negative) and the naive estimate
+    absurd; an estimate only counts if the slope term dominates the
+    intercept (tk - t1 > 0.2 * tk). If every repeat is degenerate, fall back
+    to the conservative upper bound tk / (iters + 1) (includes the RPC).
+    """
+    estimates, fallback = [], []
+    for _ in range(outer):
+        t1 = min(run(1) for _ in range(3))
+        tk = min(run(iters + 1) for _ in range(2))
+        fallback.append(tk / (iters + 1))
+        if tk - t1 > 0.2 * tk:
+            estimates.append((tk - t1) / iters)
+    return min(estimates) if estimates else min(fallback)
+
+
 def measure_torch_baseline(batch=16, seconds=4.0):
     import torch
 
@@ -175,14 +195,7 @@ def main():
         return time.time() - t0
 
     run(2)  # warmup
-    # chip/relay timing noise is significant (±20-40% across minutes); take
-    # the best of several interleaved slope estimates
-    estimates = []
-    for _ in range(5):
-        t1 = min(run(1) for _ in range(3))
-        tk = min(run(args.iters + 1) for _ in range(2))
-        estimates.append(max((tk - t1) / args.iters, 1e-6))
-    dt = min(estimates)
+    dt = robust_slope(run, args.iters, outer=5)
     utt_per_s = B / dt
 
     # p50 decode-path latency: single utterance, encoder + intent head + argmax
@@ -213,12 +226,7 @@ def main():
         np.asarray(out[0])
         return time.time() - t0
 
-    d_estimates = []
-    for _ in range(3):
-        d1 = min(drun(1) for _ in range(3))
-        dk = min(drun(41) for _ in range(2))
-        d_estimates.append(max((dk - d1) / 40, 1e-6) * 1000)
-    decode_device_ms = float(np.median(d_estimates))
+    decode_device_ms = float(robust_slope(drun, 40, outer=3) * 1000)
 
     # Full SLU train step (fwd + bwd + masked flat Adam + dropout RNG) via the
     # REAL Trainer jit — traced mask vector, in-jit fold_in, donation.
@@ -254,15 +262,14 @@ def main():
             np.asarray(loss)
             return time.time() - t0, p, o
 
-        _, p, o = run(2, p, o)
-        est = []
-        for _ in range(3):
-            t1a, p, o = run(1, p, o)
-            t1b, p, o = run(1, p, o)
-            tka, p, o = run(31, p, o)
-            tkb, p, o = run(31, p, o)
-            est.append(max((min(tka, tkb) - min(t1a, t1b)) / 30, 1e-6) * 1000)
-        return float(min(est))
+        state = {"p": p, "o": o}
+
+        def trun(k):
+            t, state["p"], state["o"] = run(k, state["p"], state["o"])
+            return t
+
+        trun(2)
+        return float(robust_slope(trun, 30, outer=3) * 1000)
 
     try:
         train_step_ms = round(measure_train_step(), 3)
