@@ -1,0 +1,72 @@
+"""bench.py helpers: the slope estimator must never report absurd numbers.
+
+A relay latency spike during the 1-iteration baseline once produced a
+degenerate two-point slope (clamped to 1e-6 s -> "128M utt/s" with a
+roofline fraction of 316). These tests pin the sanity filter with synthetic
+timing models; no TPU needed.
+"""
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from bench import min_encoder_hbm_bytes, robust_slope  # noqa: E402
+
+
+def make_run(per_iter, rpc, spikes=None):
+    """run(k) -> wall time: k * per_iter + rpc, with optional per-call
+    spike overrides keyed by call index."""
+    calls = {"n": 0}
+    spikes = spikes or {}
+
+    def run(k):
+        extra = spikes.get(calls["n"], 0.0)
+        calls["n"] += 1
+        return k * per_iter + rpc + extra
+
+    return run
+
+
+def test_clean_timings_recover_slope():
+    dt = robust_slope(make_run(0.5e-3, 70e-3), iters=100, outer=3)
+    assert abs(dt - 0.5e-3) < 1e-9
+
+
+def test_baseline_spike_is_rejected():
+    """A spike that lands on every 1-iter baseline makes tk - t1 <= 0; the
+    estimator must fall back to the whole-run upper bound, never report a
+    near-zero slope."""
+    # each outer round: 3x run(1), 2x run(101) -> baseline calls are
+    # 0,1,2 / 5,6,7 / 10,11,12
+    spikes = {i: 10.0 for i in (0, 1, 2, 5, 6, 7, 10, 11, 12)}
+    dt = robust_slope(make_run(0.5e-3, 70e-3, spikes), iters=100, outer=3)
+    upper = (100 * 0.5e-3 + 0.5e-3 + 70e-3) / 101
+    assert abs(dt - upper) < 1e-9
+    assert dt > 0.5e-3  # conservative: never faster than truth
+
+
+def test_single_spiked_round_is_ignored():
+    """One poisoned round out of three: the clean rounds win."""
+    spikes = {0: 10.0, 1: 10.0, 2: 10.0}  # only round 1's baselines
+    dt = robust_slope(make_run(0.5e-3, 70e-3, spikes), iters=100, outer=3)
+    assert abs(dt - 0.5e-3) < 1e-9
+
+
+def test_byte_model_counts_layer_boundaries_only():
+    """The roofline byte model: a GRU contributes its input read + output
+    write, never the 3H gate streams (the fused kernels keep them in VMEM)."""
+
+    class Spec:
+        def __init__(self, kind, h):
+            self.kind, self.h = kind, h
+
+    class Arch:
+        phoneme_layers = (Spec("gru", (60, 128, True)),)
+        word_layers = ()
+
+    b, t = 4, 100
+    total = min_encoder_hbm_bytes(Arch(), b, t)
+    f32 = 4
+    # input stream starts at the 1-channel waveform (read once), output is
+    # the bidirectional hidden stream (written once)
+    assert total == b * t * 1 * f32 + b * t * 128 * 2 * f32
