@@ -91,24 +91,70 @@ def min_encoder_hbm_bytes(arch, batch: int, t_samples: int) -> int:
     return total
 
 
-def robust_slope(run, iters: int, outer: int = 3):
+def robust_slope(run, iters: int, outer: int = 3, budget_s: float = 0.0,
+                 min_s: float = 0.0, patience: int = 0, tol: float = 0.02,
+                 spacing_s: float = 0.0, sleep=time.sleep, clock=time.time):
     """Best sane two-point slope estimate of per-iteration device time.
 
     ``run(k)`` executes k queued iterations + one sync and returns wall time.
     The relay's RPC latency occasionally SPIKES during the 1-iteration
     baseline, making tk - t1 vanish (or go negative) and the naive estimate
     absurd; an estimate only counts if the slope term dominates the
-    intercept (tk - t1 > 0.2 * tk). If every repeat is degenerate, fall back
+    intercept (tk - t1 > 0.2 * tk). If every round is degenerate, fall back
     to the conservative upper bound tk / (iters + 1) (includes the RPC).
+
+    Returns ``(seconds_per_iter, fallback_used)``.
+
+    Two modes:
+
+    * ``budget_s == 0`` (default): exactly ``outer`` rounds, best estimate.
+    * ``budget_s > 0`` — *measure-until-converged*, for the one-shot driver
+      run: chip/relay throughput swings ±40% across minutes (CLAUDE.md), so
+      a short burst of rounds can land entirely inside a bad window and
+      record a number ~2x worse than the same code minutes later
+      (BENCH_r02: 0.747 ms vs same-code 0.433). Rounds repeat, spaced
+      ``spacing_s`` apart, until (a) at least ``min_s`` seconds have elapsed
+      AND (b) the best estimate hasn't improved by more than ``tol`` for
+      ``patience`` consecutive rounds — or ``budget_s`` runs out. The time
+      spread is the point: it gives the measurement a chance to catch a
+      good window regardless of when the driver happens to invoke it.
     """
-    estimates, fallback = [], []
-    for _ in range(outer):
+    estimates, fallbacks = [], []
+    best = float("inf")
+    stale = 0
+    t_start = clock()
+    rounds = 0
+    while True:
         t1 = min(run(1) for _ in range(3))
         tk = min(run(iters + 1) for _ in range(2))
-        fallback.append(tk / (iters + 1))
+        fallbacks.append(tk / (iters + 1))
+        prev_best = best
         if tk - t1 > 0.2 * tk:
             estimates.append((tk - t1) / iters)
-    return min(estimates) if estimates else min(fallback)
+            best = min(best, estimates[-1])
+        rounds += 1
+        if budget_s <= 0:
+            if rounds >= outer:
+                break
+        else:
+            elapsed = clock() - t_start
+            stale = stale + 1 if best > (1.0 - tol) * prev_best else 0
+            if elapsed >= budget_s:
+                break
+            if elapsed >= min_s and estimates and stale >= patience:
+                break
+            if spacing_s > 0:
+                sleep(spacing_s)
+    if estimates:
+        # Report the SECOND-smallest estimate when enough rounds exist: a
+        # round that straddles a slow->fast window transition pairs an
+        # inflated t1 with a fast tk and reports an optimistic slope, and a
+        # plain min would select exactly that round. A genuine good window
+        # lasts minutes and yields many agreeing rounds, so corroboration
+        # costs nothing.
+        ranked = sorted(estimates)
+        return (ranked[1] if len(ranked) >= 4 else ranked[0]), False
+    return min(fallbacks), True
 
 
 def measure_torch_baseline(batch=16, seconds=4.0):
@@ -157,6 +203,7 @@ def main():
 
     import __graft_entry__
     from tpu_slu.models import encoder as enc
+    from tpu_slu.models import slu as slu_mod
     from tpu_slu.models.slu import Model, intent_logits, intent_predictions
     from tpu_slu.ops.pallas_gru import gru_pallas_available
 
@@ -195,7 +242,15 @@ def main():
         return time.time() - t0
 
     run(2)  # warmup
-    dt = robust_slope(run, args.iters, outer=5)
+    fallback_metrics = []
+    # Measure-until-converged: the contract number is captured ONCE per round
+    # by the driver; spread rounds across ~2-4 min so a bad relay window
+    # can't own the whole measurement (see robust_slope docstring).
+    dt, fb = robust_slope(
+        run, args.iters, budget_s=240.0, min_s=90.0, patience=8, spacing_s=3.0
+    )
+    if fb:
+        fallback_metrics.append("encoder_fwd")
     utt_per_s = B / dt
 
     # p50 decode-path latency: single utterance, encoder + intent head + argmax
@@ -226,7 +281,10 @@ def main():
         np.asarray(out[0])
         return time.time() - t0
 
-    decode_device_ms = float(robust_slope(drun, 40, outer=3) * 1000)
+    dd, fb = robust_slope(drun, 40, outer=3)
+    if fb:
+        fallback_metrics.append("decode")
+    decode_device_ms = float(dd * 1000)
 
     # Full SLU train step (fwd + bwd + masked flat Adam + dropout RNG) via the
     # REAL Trainer jit — traced mask vector, in-jit fold_in, donation.
@@ -269,12 +327,63 @@ def main():
             return t
 
         trun(2)
-        return float(robust_slope(trun, 30, outer=3) * 1000)
+        ts, fb = robust_slope(trun, 30, outer=3)
+        if fb:
+            fallback_metrics.append("train_step")
+        return float(ts * 1000)
 
     try:
         train_step_ms = round(measure_train_step(), 3)
     except Exception as e:  # keep the contract line printing no matter what
         train_step_ms = f"failed: {e}"
+
+    # Seq2seq beam decode (hot loop C, reference models.py:588-650): small
+    # fixed shape so the driver sees decode-path regressions. B=16 keeps the
+    # serialized executable small through the relay.
+    def measure_seq2seq_beam(Bs=16, max_len=200, beam=4):
+        import copy
+
+        s_cfg = copy.copy(config)
+        s_cfg.seq2seq = True
+        s_cfg.Sy_intent = ["<sos>"] + [chr(32 + i) for i in range(95)] + ["<eos>"]
+        s_cfg.intent_encoder_dim = 128
+        s_cfg.num_intent_encoder_layers = 1
+        s_cfg.intent_decoder_dim = 256
+        s_cfg.num_intent_decoder_layers = 2
+        s_cfg.intent_decoder_key_dim = 128
+        s_cfg.intent_decoder_value_dim = 256
+        s_cfg.seq2seq_max_decode_len = max_len
+        s_model = Model(s_cfg)
+        xs = jnp.asarray(
+            np.random.default_rng(3).standard_normal((Bs, T), np.float32)
+        )
+        infer = jax.jit(
+            lambda p, x: slu_mod.seq2seq_beam_infer(
+                p, s_model.seq2seq_arch,
+                enc.encoder_features(
+                    p["pretrained_model"], s_model.encoder_arch, x, gru_impl=gru_impl
+                ),
+                beam, gru_impl=gru_impl,
+            )
+        )
+
+        def srun(k):
+            t0 = time.time()
+            for _ in range(k):
+                scores, _ = infer(s_model.params, xs)
+            np.asarray(scores)
+            return time.time() - t0
+
+        srun(2)
+        ss, fb = robust_slope(srun, 20, outer=3)
+        if fb:
+            fallback_metrics.append("seq2seq_beam")
+        return float(ss * 1000)
+
+    try:
+        seq2seq_beam_ms = round(measure_seq2seq_beam(), 3)
+    except Exception as e:
+        seq2seq_beam_ms = f"failed: {e}"
 
     baseline = measure_torch_baseline() if args.measure_baseline else TORCH_CPU_BASELINE_UTT_S
 
@@ -286,28 +395,32 @@ def main():
     achieved_gbps = hbm_bytes / dt / 1e9
     roofline_frac = achieved_gbps / V5E_HBM_GBPS
 
-    print(
-        json.dumps(
-            {
-                "metric": "fsc_encoder_fwd_utterances_per_sec_per_chip",
-                "value": round(utt_per_s, 1),
-                "unit": "utt/s/chip (B=%d, %gs audio)" % (B, args.seconds),
-                "vs_baseline": round(utt_per_s / baseline, 2),
-                "baseline": "reference torch-CPU encoder fwd %.1f utt/s" % baseline,
-                "hbm_roofline_frac": round(roofline_frac, 3),
-                "achieved_gbps": round(achieved_gbps, 1),
-                "p50_decode_ms": round(p50_ms, 1),
-                "decode_device_ms": round(decode_device_ms, 3),
-                "train_step_ms": train_step_ms,
-                "train_step_batch": 64,
-                "gru_impl": gru_impl,
-                "dtype": args.dtype,
-                "ms_per_iter_device": round(dt * 1000, 3),
-                "compile_s": round(compile_s, 1),
-                "backend": jax.default_backend(),
-            }
-        )
-    )
+    record = {
+        "metric": "fsc_encoder_fwd_utterances_per_sec_per_chip",
+        "value": round(utt_per_s, 1),
+        "unit": "utt/s/chip (B=%d, %gs audio)" % (B, args.seconds),
+        "vs_baseline": round(utt_per_s / baseline, 2),
+        "baseline": "reference torch-CPU encoder fwd %.1f utt/s" % baseline,
+        "hbm_roofline_frac": round(roofline_frac, 3),
+        "achieved_gbps": round(achieved_gbps, 1),
+        "p50_decode_ms": round(p50_ms, 1),
+        "decode_device_ms": round(decode_device_ms, 3),
+        "train_step_ms": train_step_ms,
+        "train_step_batch": 64,
+        "seq2seq_beam_ms": seq2seq_beam_ms,
+        "seq2seq_beam_batch": 16,
+        "gru_impl": gru_impl,
+        "dtype": args.dtype,
+        "ms_per_iter_device": round(dt * 1000, 3),
+        "compile_s": round(compile_s, 1),
+        "backend": jax.default_backend(),
+    }
+    if fallback_metrics:
+        # One or more slopes had no sane estimate and fell back to the
+        # tk/(k+1) upper bound (includes the RPC intercept) — those numbers
+        # are pessimistic, not measurements (ADVICE r2).
+        record["slope_fallback"] = fallback_metrics
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -28,28 +28,101 @@ def make_run(per_iter, rpc, spikes=None):
 
 
 def test_clean_timings_recover_slope():
-    dt = robust_slope(make_run(0.5e-3, 70e-3), iters=100, outer=3)
+    dt, fb = robust_slope(make_run(0.5e-3, 70e-3), iters=100, outer=3)
     assert abs(dt - 0.5e-3) < 1e-9
+    assert fb is False
 
 
 def test_baseline_spike_is_rejected():
     """A spike that lands on every 1-iter baseline makes tk - t1 <= 0; the
     estimator must fall back to the whole-run upper bound, never report a
-    near-zero slope."""
+    near-zero slope — and must SAY it fell back (ADVICE r2)."""
     # each outer round: 3x run(1), 2x run(101) -> baseline calls are
     # 0,1,2 / 5,6,7 / 10,11,12
     spikes = {i: 10.0 for i in (0, 1, 2, 5, 6, 7, 10, 11, 12)}
-    dt = robust_slope(make_run(0.5e-3, 70e-3, spikes), iters=100, outer=3)
+    dt, fb = robust_slope(make_run(0.5e-3, 70e-3, spikes), iters=100, outer=3)
     upper = (100 * 0.5e-3 + 0.5e-3 + 70e-3) / 101
     assert abs(dt - upper) < 1e-9
     assert dt > 0.5e-3  # conservative: never faster than truth
+    assert fb is True
 
 
 def test_single_spiked_round_is_ignored():
     """One poisoned round out of three: the clean rounds win."""
     spikes = {0: 10.0, 1: 10.0, 2: 10.0}  # only round 1's baselines
-    dt = robust_slope(make_run(0.5e-3, 70e-3, spikes), iters=100, outer=3)
+    dt, fb = robust_slope(make_run(0.5e-3, 70e-3, spikes), iters=100, outer=3)
     assert abs(dt - 0.5e-3) < 1e-9
+    assert fb is False
+
+
+class FakeClock:
+    """Deterministic clock/sleep pair for the converged mode."""
+
+    def __init__(self):
+        self.t = 0.0
+
+    def clock(self):
+        return self.t
+
+    def sleep(self, s):
+        self.t += s
+
+
+def test_converged_mode_rides_out_a_bad_window():
+    """A bad relay window inflates every timing 2x for the first 60 "s";
+    the converged estimator must keep measuring past it and report the
+    good-window slope (the BENCH_r02 failure mode: a one-shot burst recorded
+    0.747 ms against a same-code 0.433)."""
+    fake = FakeClock()
+    calls = {"n": 0}
+
+    def run(k):
+        calls["n"] += 1
+        fake.t += 0.1  # each measurement call advances time
+        per_iter = 1.0e-3 if fake.t < 60.0 else 0.5e-3
+        return k * per_iter + 70e-3
+
+    dt, fb = robust_slope(
+        run, iters=100, budget_s=240.0, min_s=90.0, patience=4,
+        spacing_s=3.0, sleep=fake.sleep, clock=fake.clock,
+    )
+    assert abs(dt - 0.5e-3) < 1e-9
+    assert fb is False
+
+
+def test_converged_mode_stops_when_stable():
+    """Stable timings: the loop exits at min_s + patience, not the full
+    budget."""
+    fake = FakeClock()
+
+    def run(k):
+        fake.t += 0.1
+        return k * 0.5e-3 + 70e-3
+
+    dt, fb = robust_slope(
+        run, iters=100, budget_s=600.0, min_s=30.0, patience=3,
+        spacing_s=2.0, sleep=fake.sleep, clock=fake.clock,
+    )
+    assert abs(dt - 0.5e-3) < 1e-9
+    assert fake.t < 120.0  # converged long before the 600 s budget
+
+
+def test_converged_mode_respects_budget():
+    """Estimates that keep improving forever still stop at budget_s."""
+    fake = FakeClock()
+    state = {"per": 2.0e-3}
+
+    def run(k):
+        fake.t += 0.1
+        state["per"] *= 0.97  # always improving -> patience never triggers
+        return k * state["per"] + 70e-3
+
+    dt, fb = robust_slope(
+        run, iters=100, budget_s=50.0, min_s=10.0, patience=3,
+        spacing_s=1.0, sleep=fake.sleep, clock=fake.clock,
+    )
+    assert fake.t <= 60.0
+    assert fb is False
 
 
 def test_byte_model_counts_layer_boundaries_only():

@@ -88,21 +88,34 @@ class BatchLoader:
             # disjoint strided shard per host.
             np.random.default_rng(self.seed + epoch).shuffle(order)
         pidx, pcount = self._process_shard()
+        dup = np.zeros(len(order), bool)
         if pcount > 1:
             # Equal-length shards: every host must produce the SAME number of
             # batches or lockstep collectives deadlock at epoch end. Wrap the
             # permutation so each host gets exactly ceil(n/pcount) examples
             # (<= pcount-1 wrapped duplicates globally, standard shard+pad).
+            # Duplicates are flagged and get weight 0 after collation, so
+            # epoch metrics stay exact (the gradient contribution of a
+            # weight-0 example is zero too).
             n_shard = -(-len(order) // pcount)
-            order = np.concatenate([order, order[: n_shard * pcount - len(order)]])
-            order = order[pidx::pcount]
+            extra = n_shard * pcount - len(order)
+            order = np.concatenate([order, order[:extra]])
+            dup = np.concatenate([dup, np.ones(extra, bool)])
+            order, dup = order[pidx::pcount], dup[pidx::pcount]
         batches = [
-            order[i : i + self.batch_size].tolist() for i in range(0, len(order), self.batch_size)
+            (order[i : i + self.batch_size].tolist(), dup[i : i + self.batch_size])
+            for i in range(0, len(order), self.batch_size)
         ]
 
-        def make_batch(idx_list):
+        def make_batch(batch_spec):
+            idx_list, dup_flags = batch_spec
             items = [self.dataset[i] for i in idx_list]
-            return self.collate(items)
+            batch = self.collate(items)
+            if dup_flags.any() and isinstance(batch, dict) and "w" in batch:
+                w = np.array(batch["w"], np.float32, copy=True)
+                w[: len(dup_flags)] *= 1.0 - dup_flags.astype(np.float32)
+                batch = {**batch, "w": w}
+            return batch
 
         with cf.ThreadPoolExecutor(max_workers=self.num_threads) as pool:
             pending = []

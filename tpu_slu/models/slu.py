@@ -466,6 +466,14 @@ class Model:
         impl_infer = f"pallas:{infer_tb}" if (impl == "pallas" and infer_tb) else impl
 
         mask_padding = getattr(self.config, "mask_padding", True)
+        # Train-mode facade forward: the reference's Model.forward applies
+        # dropout under model.train() (ref models.py:797-828); a manual-loop
+        # user porting that over this facade gets the same semantics via
+        # forward(..., training=True). RNG is derived in-jit from a step
+        # index (same pattern as the Trainer).
+        base_rng = jax.random.key(
+            self.config.seed, impl=getattr(self.config, "prng_impl", "rbg")
+        )
 
         if not self.seq2seq:
             iarch = self.intent_arch
@@ -473,6 +481,19 @@ class Model:
             def fwd(params, x, y_intent):
                 feats = enc.encoder_features(params["pretrained_model"], earch, x, gru_impl=impl)
                 logits = intent_logits(params["intent_layers"], iarch, feats, gru_impl=impl)
+                return intent_loss_acc(logits, y_intent, iarch.values_per_slot)
+
+            def fwd_train(params, x, y_intent, step):
+                rng = jax.random.fold_in(base_rng, step)
+                r1, r2 = jax.random.split(rng)
+                feats = enc.encoder_features(
+                    params["pretrained_model"], earch, x, train=True, rng=r1,
+                    gru_impl=impl,
+                )
+                logits = intent_logits(
+                    params["intent_layers"], iarch, feats, train=True, rng=r2,
+                    gru_impl=impl,
+                )
                 return intent_loss_acc(logits, y_intent, iarch.values_per_slot)
 
             def predict(params, x, lengths):
@@ -502,6 +523,7 @@ class Model:
                 return logits, intent_predictions(logits, iarch.values_per_slot)
 
             self._jit_forward = jax.jit(fwd)
+            self._jit_forward_train = jax.jit(fwd_train)
             self._jit_predict = jax.jit(predict)
             self._jit_predict_exact = jax.jit(predict_exact)
         else:
@@ -510,6 +532,18 @@ class Model:
             def fwd(params, x, y_onehot):
                 feats = enc.encoder_features(params["pretrained_model"], earch, x, gru_impl=impl)
                 log_p = seq2seq_log_prob(params, sarch, feats, y_onehot, gru_impl=impl)
+                return -log_p.mean(), jnp.zeros((), jnp.float32)
+
+            def fwd_train(params, x, y_onehot, step):
+                rng = jax.random.fold_in(base_rng, step)
+                r1, r2 = jax.random.split(rng)
+                feats = enc.encoder_features(
+                    params["pretrained_model"], earch, x, train=True, rng=r1,
+                    gru_impl=impl,
+                )
+                log_p = seq2seq_log_prob(
+                    params, sarch, feats, y_onehot, train=True, rng=r2, gru_impl=impl
+                )
                 return -log_p.mean(), jnp.zeros((), jnp.float32)
 
             def infer(params, x, lengths, beam_width):
@@ -536,16 +570,26 @@ class Model:
                 )
 
             self._jit_forward = jax.jit(fwd)
+            self._jit_forward_train = jax.jit(fwd_train)
             self._jit_infer = jax.jit(infer, static_argnums=3)
             self._jit_infer_exact = jax.jit(infer_exact, static_argnums=3)
 
     # -- reference API --------------------------------------------------------
 
-    def forward(self, x, y_intent):
+    def forward(self, x, y_intent, training: bool = False):
+        """(loss, acc) for a batch — reference ``Model.forward``
+        (models.py:797-828). ``training=True`` applies dropout (the
+        reference's ``model.train()`` mode); default eval mode does not.
+        The Trainer's own loss closures always train with dropout — this
+        flag exists for manual-loop users of the facade."""
         x = jnp.asarray(x, jnp.float32)
-        if not self.seq2seq:
-            return self._jit_forward(self.params, x, jnp.asarray(y_intent, jnp.int32))
-        return self._jit_forward(self.params, x, jnp.asarray(y_intent, jnp.float32))
+        y = jnp.asarray(y_intent, jnp.float32 if self.seq2seq else jnp.int32)
+        if training:
+            self._forward_step = getattr(self, "_forward_step", 0) + 1
+            return self._jit_forward_train(
+                self.params, x, y, np.int32(self._forward_step)
+            )
+        return self._jit_forward(self.params, x, y)
 
     __call__ = forward
 

@@ -39,20 +39,30 @@ def _weighted_mean(total, count):
     return total / max(count, 1e-9)
 
 
-def _all_hosts_sum(scalars):
+def _all_hosts_sum(scalars, process_count=None, allgather=None):
     """Sum metric scalars across hosts. Single-process: identity.
 
     On a pod slice every host iterates its own input shard
     (loader.py process sharding), so device-accumulated totals cover 1/Pth of
-    the epoch; log.csv rows must aggregate the global batch."""
-    if jax.process_count() == 1:
-        return scalars
-    from jax.experimental import multihost_utils
+    the epoch; log.csv rows must aggregate the global batch.
 
-    stacked = multihost_utils.process_allgather(
-        jnp.stack([jnp.asarray(v, jnp.float32) for v in scalars])
+    ``process_count``/``allgather`` are injectable so the multi-host branch
+    is unit-testable without a real pod (tests/test_multihost.py): defaults
+    resolve to ``jax.process_count()`` and
+    ``multihost_utils.process_allgather``."""
+    pcount = jax.process_count() if process_count is None else process_count
+    if pcount == 1:
+        return scalars
+    if allgather is None:
+        from jax.experimental import multihost_utils
+
+        allgather = multihost_utils.process_allgather
+    stacked = allgather(jnp.stack([jnp.asarray(v, jnp.float32) for v in scalars]))
+    stacked = np.asarray(stacked)
+    assert stacked.shape == (pcount, len(scalars)), (
+        f"allgather returned {stacked.shape}, expected ({pcount}, {len(scalars)})"
     )
-    return list(np.asarray(stacked).sum(axis=0))
+    return list(stacked.sum(axis=0))
 
 
 class Trainer:
@@ -444,24 +454,34 @@ class Trainer:
         timer = StepTimer()
         profile_dir = getattr(self.config, "profile_dir", None) if self.epoch == 0 else None
         carry = self._params_carry()
-        with profile_trace(profile_dir):
-            for idx, (bs, batch) in enumerate(self._batches(dataset)):
-                num_examples += bs
-                with timer.step():
-                    carry, self.opt_state, aux = self._train_step(
-                        carry, self.opt_state, self._next_step_idx(), batch
-                    )
-                pl_, wl, pa, wa = aux
-                totals["phone_loss"] = totals["phone_loss"] + pl_ * bs
-                totals["word_loss"] = totals["word_loss"] + wl * bs
-                totals["phone_acc"] = totals["phone_acc"] + pa * bs
-                totals["word_acc"] = totals["word_acc"] + wa * bs
-                if idx % print_interval == 0:
-                    print(f"phoneme loss: {float(pl_)}")
-                    print(f"word loss: {float(wl)}")
-                    print(f"phoneme acc: {float(pa)}")
-                    print(f"word acc: {float(wa)}")
-        self._set_params_carry(carry)
+        # try/finally: an exception mid-epoch (loader error, KeyboardInterrupt)
+        # must not discard completed steps — sync the latest carry back into
+        # model.params on any exit.
+        try:
+            with profile_trace(profile_dir):
+                for idx, (bs, batch) in enumerate(self._batches(dataset)):
+                    num_examples += bs
+                    with timer.step():
+                        carry, self.opt_state, aux = self._train_step(
+                            carry, self.opt_state, self._next_step_idx(), batch
+                        )
+                    pl_, wl, pa, wa = aux
+                    totals["phone_loss"] = totals["phone_loss"] + pl_ * bs
+                    totals["word_loss"] = totals["word_loss"] + wl * bs
+                    totals["phone_acc"] = totals["phone_acc"] + pa * bs
+                    totals["word_acc"] = totals["word_acc"] + wa * bs
+                    if idx % print_interval == 0:
+                        print(f"phoneme loss: {float(pl_)}")
+                        print(f"word loss: {float(wl)}")
+                        print(f"phoneme acc: {float(pa)}")
+                        print(f"word acc: {float(wa)}")
+        finally:
+            try:
+                self._set_params_carry(carry)
+            except RuntimeError:
+                # carry was donated into a step that failed mid-flight; the
+                # original exception (propagating) is the real story
+                pass
         keys = list(totals)
         sums = _all_hosts_sum([totals[k] for k in keys] + [num_examples])
         num_examples = float(sums[-1])
@@ -494,19 +514,24 @@ class Trainer:
             mask = jax.device_put(expand_mask(self.model.params, mask))
         profile_dir = getattr(self.config, "profile_dir", None) if self.epoch == 0 else None
         carry = self._params_carry()
-        with profile_trace(profile_dir):
-            for idx, (bs, batch) in enumerate(self._batches(dataset)):
-                num_examples += bs
-                with timer.step():
-                    carry, self.opt_state, (loss, acc) = self._train_step(
-                        carry, self.opt_state, mask, self._next_step_idx(), batch
-                    )
-                total_loss = total_loss + loss * bs
-                total_acc = total_acc + acc * bs
-                if idx % print_interval == 0:
-                    print(f"intent loss: {float(loss)}")
-                    print(f"intent acc: {float(acc)}")
-        self._set_params_carry(carry)
+        try:  # persist completed steps even on a mid-epoch exception
+            with profile_trace(profile_dir):
+                for idx, (bs, batch) in enumerate(self._batches(dataset)):
+                    num_examples += bs
+                    with timer.step():
+                        carry, self.opt_state, (loss, acc) = self._train_step(
+                            carry, self.opt_state, mask, self._next_step_idx(), batch
+                        )
+                    total_loss = total_loss + loss * bs
+                    total_acc = total_acc + acc * bs
+                    if idx % print_interval == 0:
+                        print(f"intent loss: {float(loss)}")
+                        print(f"intent acc: {float(acc)}")
+        finally:
+            try:
+                self._set_params_carry(carry)
+            except RuntimeError:
+                pass  # carry donated into a failed step; see _train_asr note
         self.model.unfreeze_one_layer()  # per-epoch ULMFiT trigger (training.py:115)
         total_loss, total_acc, num_examples = _all_hosts_sum(
             [total_loss, total_acc, num_examples]
