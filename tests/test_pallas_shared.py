@@ -1,0 +1,204 @@
+"""Shared-stream joint bidirectional kernels (round 3) vs the scan impl.
+
+These kernels read ONE natural-order time-major stream for both directions
+(no flip copies), take the previous layer's h_f/h_b as separate part streams
+(no channel concat), and fuse the following ceil-mode downsample into the
+kernel epilogue in eval mode. Everything here runs in Pallas interpret mode
+on CPU — the same kernel code that compiles on TPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_slu import ops
+from tpu_slu.models.encoder import _downsample_tm
+from tpu_slu.ops.pallas_gru import TIME_BLOCK, bigru_apply_shared
+
+
+def scan_ref(params, x_btc):
+    return ops.gru_apply(params, x_btc, impl="scan")  # (B, T, 2H)
+
+
+def shared_to_btc(h_f, h_b):
+    return jnp.swapaxes(jnp.concatenate([h_f, h_b], axis=-1), 0, 1)
+
+
+@pytest.mark.parametrize("T", [TIME_BLOCK * 2, TIME_BLOCK * 2 + 3, 5, 65])
+def test_shared_forward_matches_scan(rng, T):
+    B, D, H = 4, 10, 8
+    x = jnp.asarray(rng.standard_normal((B, T, D), dtype=np.float32))
+    params = ops.gru_init(jax.random.PRNGKey(0), D, H, bidirectional=True)
+    ref = scan_ref(params, x)
+    h_f, h_b, pooled = bigru_apply_shared(params, (jnp.swapaxes(x, 0, 1),))
+    assert not pooled
+    np.testing.assert_allclose(
+        np.asarray(shared_to_btc(h_f, h_b)), np.asarray(ref), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_two_part_input_matches_concat(rng):
+    """gi = [x1 | x2] @ W_ih in VMEM must equal the concat path."""
+    B, T, H = 3, 40, 8
+    d1, d2 = 6, 10
+    x1 = jnp.asarray(rng.standard_normal((T, B, d1), dtype=np.float32))
+    x2 = jnp.asarray(rng.standard_normal((T, B, d2), dtype=np.float32))
+    params = ops.gru_init(jax.random.PRNGKey(1), d1 + d2, H, bidirectional=True)
+    ref = scan_ref(params, jnp.swapaxes(jnp.concatenate([x1, x2], -1), 0, 1))
+    h_f, h_b, _ = bigru_apply_shared(params, (x1, x2))
+    np.testing.assert_allclose(
+        np.asarray(shared_to_btc(h_f, h_b)), np.asarray(ref), rtol=1e-5, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("method", ["avg", "max"])
+@pytest.mark.parametrize("T", [32, 21])  # 21: trailing partial window
+def test_fused_pool_matches_scan_plus_downsample(rng, method, T):
+    B, D, H, k = 4, 6, 8, 2
+    x = jnp.asarray(rng.standard_normal((B, T, D), dtype=np.float32))
+    params = ops.gru_init(jax.random.PRNGKey(2), D, H, bidirectional=True)
+    ref = ops.downsample(scan_ref(params, x), method, k, time_axis=1)
+    h_f, h_b, pooled = bigru_apply_shared(
+        params, (jnp.swapaxes(x, 0, 1),), pool=k, pool_method=method
+    )
+    assert pooled
+    np.testing.assert_allclose(
+        np.asarray(shared_to_btc(h_f, h_b)), np.asarray(ref), rtol=1e-5, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("T", [TIME_BLOCK * 2, TIME_BLOCK + 5])
+def test_train_grads_match_scan(rng, T):
+    """Custom-VJP gradients through the shared backward kernel vs
+    autodiff-of-scan: x, W_ih, W_hh, both biases, both directions."""
+    B, D, H = 3, 6, 8
+    x = jnp.asarray(rng.standard_normal((B, T, D), dtype=np.float32))
+    params = ops.gru_init(jax.random.PRNGKey(3), D, H, bidirectional=True)
+    wout = jnp.asarray(rng.standard_normal((B, T, 2 * H), dtype=np.float32))
+
+    def ref_loss(params, x):
+        return jnp.sum(scan_ref(params, x) * wout)
+
+    def got_loss(params, x):
+        h_f, h_b, _ = bigru_apply_shared(
+            params, (jnp.swapaxes(x, 0, 1),), train=True
+        )
+        return jnp.sum(shared_to_btc(h_f, h_b) * wout)
+
+    ref_gp, ref_gx = jax.grad(ref_loss, argnums=(0, 1))(params, x)
+    got_gp, got_gx = jax.grad(got_loss, argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(got_gx), np.asarray(ref_gx),
+                               rtol=1e-4, atol=1e-5)
+    for (path_r, leaf_r), (path_g, leaf_g) in zip(
+        jax.tree_util.tree_leaves_with_path(ref_gp),
+        jax.tree_util.tree_leaves_with_path(got_gp),
+    ):
+        assert path_r == path_g
+        np.testing.assert_allclose(
+            np.asarray(leaf_g), np.asarray(leaf_r), rtol=1e-4, atol=1e-5,
+            err_msg=str(path_r),
+        )
+
+
+def test_train_grads_two_parts(rng):
+    """Per-part input cotangents (the dx column split) vs scan-on-concat."""
+    B, T, H, d1, d2 = 2, 24, 8, 5, 7
+    x1 = jnp.asarray(rng.standard_normal((T, B, d1), dtype=np.float32))
+    x2 = jnp.asarray(rng.standard_normal((T, B, d2), dtype=np.float32))
+    params = ops.gru_init(jax.random.PRNGKey(4), d1 + d2, H, bidirectional=True)
+    wout = jnp.asarray(rng.standard_normal((T, B, 2 * H), dtype=np.float32))
+
+    def ref_loss(x1, x2):
+        out = scan_ref(params, jnp.swapaxes(jnp.concatenate([x1, x2], -1), 0, 1))
+        return jnp.sum(jnp.swapaxes(out, 0, 1) * wout)
+
+    def got_loss(x1, x2):
+        h_f, h_b, _ = bigru_apply_shared(params, (x1, x2), train=True)
+        return jnp.sum(jnp.concatenate([h_f, h_b], -1) * wout)
+
+    ref_g1, ref_g2 = jax.grad(ref_loss, argnums=(0, 1))(x1, x2)
+    got_g1, got_g2 = jax.grad(got_loss, argnums=(0, 1))(x1, x2)
+    np.testing.assert_allclose(np.asarray(got_g1), np.asarray(ref_g1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_g2), np.asarray(ref_g2),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("method", ["none", "avg", "max"])
+@pytest.mark.parametrize("T", [20, 21])
+def test_downsample_tm_matches_batch_major(rng, method, T):
+    x = jnp.asarray(rng.standard_normal((T, 3, 5), dtype=np.float32))
+    ref = ops.downsample(jnp.swapaxes(x, 0, 1), method, 2, time_axis=1)
+    got = jnp.swapaxes(_downsample_tm(x, method, 2), 0, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+
+class TestEncoderChain:
+    """The full encoder stack through the chain path (PartsTM streams,
+    conv->RNN transpose, stack hand-off, fused eval pooling) vs scan."""
+
+    @pytest.fixture
+    def setup(self, tmp_path):
+        from tests import fixtures
+        from tpu_slu import read_config
+        from tpu_slu.models import encoder as enc
+
+        path = fixtures.write_cfg(str(tmp_path / "c.cfg"), folder=str(tmp_path / "exp"))
+        config = read_config(path)
+        config.num_phonemes = 5
+        arch = enc.EncoderArch.from_config(config)
+        params = enc.init_encoder_params(jax.random.PRNGKey(5), arch)
+        return enc, arch, params
+
+    def test_eval_features_match_scan(self, setup, rng, monkeypatch):
+        monkeypatch.setenv("TPU_SLU_PALLAS_INTERPRET", "1")
+        enc, arch, params = setup
+        x = jnp.asarray(rng.standard_normal((2, 4000), dtype=np.float32))
+        ref = enc.encoder_features(params, arch, x, gru_impl="scan")
+        got = enc.encoder_features(params, arch, x, gru_impl="pallas")
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_posteriors_match_scan(self, setup, rng, monkeypatch):
+        monkeypatch.setenv("TPU_SLU_PALLAS_INTERPRET", "1")
+        enc, arch, params = setup
+        x = jnp.asarray(rng.standard_normal((2, 4000), dtype=np.float32))
+        ref_p, ref_w = enc.encoder_posteriors(params, arch, x, gru_impl="scan")
+        got_p, got_w = enc.encoder_posteriors(params, arch, x, gru_impl="pallas")
+        np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref_p),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_w), np.asarray(ref_w),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_train_loss_grads_match_scan(self, setup, rng, monkeypatch):
+        """encoder_loss gradients through the chained train path (full-rate
+        kernels + XLA downsample) vs scan. Dropout rates are 0 in the
+        fixture cfg, so both impls compute the same function."""
+        monkeypatch.setenv("TPU_SLU_PALLAS_INTERPRET", "1")
+        enc, arch, params = setup
+        x = jnp.asarray(rng.standard_normal((2, 4000), dtype=np.float32))
+        t_ph = int(arch.num_frames(4000, upto="phoneme"))
+        t_w = int(arch.num_frames(4000))
+        yp = jnp.asarray(rng.integers(-1, 5, (2, t_ph)).astype(np.int32))
+        yw = jnp.asarray(rng.integers(-1, 10, (2, t_w)).astype(np.int32))
+
+        def loss(params, impl):
+            pl_, wl, _, _ = enc.encoder_loss(
+                params, arch, x, yp, yw, train=True, gru_impl=impl
+            )
+            return pl_ + wl
+
+        ref_g = jax.grad(lambda p: loss(p, "scan"))(params)
+        got_g = jax.grad(lambda p: loss(p, "pallas"))(params)
+        for (path_r, leaf_r), (path_g, leaf_g) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_g),
+            jax.tree_util.tree_leaves_with_path(got_g),
+        ):
+            assert path_r == path_g
+            np.testing.assert_allclose(
+                np.asarray(leaf_g), np.asarray(leaf_r), rtol=2e-4, atol=1e-5,
+                err_msg=str(path_r),
+            )

@@ -243,6 +243,43 @@ def _zero_time_tail(out, n, time_axis: int):
     return jnp.where(mask, out, 0.0)
 
 
+class PartsTM(tuple):
+    """Marker type: TIME-MAJOR (T, B, C) part streams between chained
+    bidirectional GRU layers (the shared-stream Pallas path). The h_f/h_b
+    halves of each layer stay separate arrays — the channel concat between
+    stacked GRU layers never materializes in HBM (ops/pallas_gru.py)."""
+
+
+def _parts_to_btc(parts: PartsTM):
+    """Finalize part streams to a single batch-major (B, T, C) array."""
+    h = parts[0] if len(parts) == 1 else jnp.concatenate(tuple(parts), axis=-1)
+    return jnp.swapaxes(h, 0, 1)
+
+
+def _downsample_tm(x, method: str, factor: int):
+    """``ops.downsample`` semantics on a TIME-MAJOR (T, B, C) array.
+
+    Leading-axis reshape pooling (layout-safe on TPU — never splits the
+    minor-most lane dim); torch ceil-mode divisor for avg partial windows.
+    """
+    if factor == 1:
+        return x
+    if method == "none":
+        return x[::factor]
+    t = x.shape[0]
+    pad = (-t) % factor
+    if method == "max":
+        xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0)), constant_values=-jnp.inf)
+        return xp.reshape(-1, factor, *x.shape[1:]).max(axis=1)
+    xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    sums = xp.reshape(-1, factor, *x.shape[1:]).sum(axis=1)
+    if pad == 0:
+        return sums / factor
+    counts = jnp.full((sums.shape[0], 1, 1), float(factor), x.dtype)
+    counts = counts.at[-1].set(float(factor - pad))
+    return sums / counts
+
+
 def _apply_stack(group_params, specs, out, *, train: bool, rng, gru_impl: str,
                  compute_dtype=None, n=None):
     """Run a LayerSpec stack. Conv specs take (B, C, T); RNN specs (B, T, C).
@@ -260,7 +297,68 @@ def _apply_stack(group_params, specs, out, *, train: bool, rng, gru_impl: str,
     ``n`` is None).
     """
     masked = n is not None
-    for spec in specs:
+    from tpu_slu.ops.gru import _pallas_active
+
+    # Shared-stream chain (ops/pallas_gru.py): unmasked bidirectional GRU
+    # stacks thread TIME-MAJOR part streams between layers — no flips, no
+    # channel concats, and in eval mode the following downsample fuses into
+    # the kernel so outputs are written at the pooled rate.
+    chain = (not masked) and _pallas_active(gru_impl)
+    parts = out if isinstance(out, PartsTM) else None
+    if parts is not None:
+        out = None
+    specs = list(specs)
+    idx = 0
+    while idx < len(specs):
+        spec = specs[idx]
+        use_chain = (
+            chain
+            and spec.kind == "gru"
+            and "bwd" in group_params[str(spec.index)]
+        )
+        if parts is not None and not use_chain:
+            out = _parts_to_btc(parts)
+            parts = None
+        idx += 1
+        if use_chain:
+            from tpu_slu.ops.pallas_gru import bigru_apply_shared
+
+            if parts is None:
+                parts = PartsTM((jnp.swapaxes(out, 0, 1),))  # (B,T,C)->(T,B,C)
+            if compute_dtype is not None:
+                parts = PartsTM(p.astype(compute_dtype) for p in parts)
+            # rnn blocks are always [gru, select, dropout, downsample]
+            # (_rnn_block_specs); consume the trailing three here so the
+            # downsample can fuse into the kernel
+            nxt = specs[idx:idx + 3]
+            if [s.kind for s in nxt] == ["select", "dropout", "downsample"]:
+                drop_p = nxt[1].h[0]
+                ds_method, ds_len = nxt[2].h
+                idx += 3
+            else:  # defensive: bare gru
+                drop_p, ds_method, ds_len = 0.0, "none", 1
+            tb = int(gru_impl.split(":", 1)[1]) if ":" in gru_impl else None
+            want_pool = (not train) and ds_len > 1 and ds_method in ("avg", "max")
+            h_f, h_b, pooled = bigru_apply_shared(
+                group_params[str(spec.index)], tuple(parts), time_block=tb,
+                train=train, pool=ds_len if want_pool else 1,
+                pool_method=ds_method,
+            )
+            new_parts = [h_f, h_b]
+            if train and drop_p > 0.0:
+                rng, sub = jax.random.split(rng)
+                hdim = h_f.shape[-1]
+                keep = jax.random.bernoulli(
+                    sub, 1.0 - drop_p, (*h_f.shape[:2], 2 * hdim)
+                )
+                new_parts = [
+                    jnp.where(keep[..., :hdim], h_f / (1.0 - drop_p), 0.0),
+                    jnp.where(keep[..., hdim:], h_b / (1.0 - drop_p), 0.0),
+                ]
+            if not pooled and ds_len > 1:
+                new_parts = [_downsample_tm(p, ds_method, ds_len) for p in new_parts]
+            parts = PartsTM(new_parts)
+            continue
         if spec.kind == "sinc":
             p = group_params[str(spec.index)]
             _, filt_dim, fs, stride, pad = spec.h
@@ -292,7 +390,13 @@ def _apply_stack(group_params, specs, out, *, train: bool, rng, gru_impl: str,
                 keep = jax.random.bernoulli(sub, 1.0 - p_drop, out.shape)
                 out = jnp.where(keep, out / (1.0 - p_drop), 0.0)
         elif spec.kind == "ncl2nlc":
-            out = jnp.swapaxes(out, 1, 2)  # (B, C, T) -> (B, T, C)
+            if chain:
+                # feed the chain directly: (B, C, T) -> time-major (T, B, C)
+                # in one transpose (finalized back if the next GRU can't chain)
+                parts = PartsTM((jnp.transpose(out, (2, 0, 1)),))
+                out = None
+            else:
+                out = jnp.swapaxes(out, 1, 2)  # (B, C, T) -> (B, T, C)
         elif spec.kind == "gru":
             if compute_dtype is not None:
                 out = out.astype(compute_dtype)
@@ -320,7 +424,7 @@ def _apply_stack(group_params, specs, out, *, train: bool, rng, gru_impl: str,
                 out = ops.downsample(out, method, factor, time_axis=1)
         else:
             raise ValueError(spec.kind)
-    return out, rng, n
+    return (parts if parts is not None else out), rng, n
 
 
 def encoder_phoneme_features(params, arch: EncoderArch, x, *, train=False, rng=None, gru_impl="scan",
@@ -331,7 +435,7 @@ def encoder_phoneme_features(params, arch: EncoderArch, x, *, train=False, rng=N
         params["phoneme_layers"], arch.phoneme_layers, out, train=train, rng=rng,
         gru_impl=gru_impl, compute_dtype=compute_dtype, n=lengths,
     )
-    return out
+    return _parts_to_btc(out) if isinstance(out, PartsTM) else out
 
 
 def encoder_features(params, arch: EncoderArch, x, *, train=False, rng=None, gru_impl="scan",
@@ -347,6 +451,8 @@ def encoder_features(params, arch: EncoderArch, x, *, train=False, rng=None, gru
     if rng is None:
         rng = jax.random.PRNGKey(0)
     out = x[:, None, :]
+    # PartsTM streams (the shared-kernel chain) pass between the two stacks
+    # without materializing the channel concat.
     out, rng, n = _apply_stack(
         params["phoneme_layers"], arch.phoneme_layers, out, train=train, rng=rng,
         gru_impl=gru_impl, compute_dtype=compute_dtype, n=lengths,
@@ -355,7 +461,7 @@ def encoder_features(params, arch: EncoderArch, x, *, train=False, rng=None, gru
         params["word_layers"], arch.word_layers, out, train=train, rng=rng,
         gru_impl=gru_impl, compute_dtype=compute_dtype, n=n,
     )
-    return out
+    return _parts_to_btc(out) if isinstance(out, PartsTM) else out
 
 
 def encoder_posteriors(params, arch: EncoderArch, x, *, gru_impl="scan", lengths=None):
@@ -365,11 +471,13 @@ def encoder_posteriors(params, arch: EncoderArch, x, *, gru_impl="scan", lengths
         params["phoneme_layers"], arch.phoneme_layers, out, train=False, rng=None,
         gru_impl=gru_impl, n=lengths,
     )
-    phoneme_logits = out @ params["phoneme_linear"]["w"] + params["phoneme_linear"]["b"]
+    out_btc = _parts_to_btc(out) if isinstance(out, PartsTM) else out
+    phoneme_logits = out_btc @ params["phoneme_linear"]["w"] + params["phoneme_linear"]["b"]
     out, _, _ = _apply_stack(
         params["word_layers"], arch.word_layers, out, train=False, rng=None,
         gru_impl=gru_impl, n=n,
     )
+    out = _parts_to_btc(out) if isinstance(out, PartsTM) else out
     word_logits = out @ params["word_linear"]["w"] + params["word_linear"]["b"]
     return phoneme_logits, word_logits
 
@@ -407,10 +515,11 @@ def encoder_loss(params, arch: EncoderArch, x, y_phoneme, y_word, *, train=False
         params["phoneme_layers"], arch.phoneme_layers, out, train=train, rng=rng,
         gru_impl=gru_impl, compute_dtype=compute_dtype,
     )
+    out_btc = _parts_to_btc(out) if isinstance(out, PartsTM) else out
     # Label streams are host-cropped to the exact frame count; guard against
     # off-by-one between conv ceil lengths and label striding by trimming.
-    t = min(out.shape[1], y_phoneme.shape[1])
-    phoneme_logits = out[:, :t] @ params["phoneme_linear"]["w"] + params["phoneme_linear"]["b"]
+    t = min(out_btc.shape[1], y_phoneme.shape[1])
+    phoneme_logits = out_btc[:, :t] @ params["phoneme_linear"]["w"] + params["phoneme_linear"]["b"]
     phoneme_loss, phoneme_acc = _masked_frame_ce(phoneme_logits, y_phoneme[:, :t])
 
     if arch.pretraining_type == 1:
@@ -421,6 +530,7 @@ def encoder_loss(params, arch: EncoderArch, x, y_phoneme, y_word, *, train=False
         params["word_layers"], arch.word_layers, out, train=train, rng=rng,
         gru_impl=gru_impl, compute_dtype=compute_dtype,
     )
+    out = _parts_to_btc(out) if isinstance(out, PartsTM) else out
     t = min(out.shape[1], y_word.shape[1])
     word_logits = out[:, :t] @ params["word_linear"]["w"] + params["word_linear"]["b"]
     word_loss, word_acc = _masked_frame_ce(word_logits, y_word[:, :t])

@@ -34,6 +34,7 @@ Gate math matches PyTorch exactly (see ops/gru.py).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -584,7 +585,10 @@ def _run_direction(params_dir, x, reverse: bool, tb: int | None = None):
     xs = jnp.swapaxes(x, 0, 1)  # (T, B, D)
     if reverse:
         xs = jnp.flip(xs, axis=0)
-    quant = max(tb_f, tb_b)
+    # lcm, not max: a user override like "pallas:24" must still give a padded
+    # length both grids divide, or the backward grid's floor division would
+    # silently skip trailing time steps in the gradient.
+    quant = math.lcm(tb_f, tb_b)
     Tp = -(-T // quant) * quant
     if Tp != T:
         xs = jnp.pad(xs, ((0, Tp - T), (0, 0), (0, 0)))
@@ -613,10 +617,11 @@ def _bigru_streams(params, x_f_bt, x_b_bt, tb: int | None):
     tb_b = _auto_tb(BWD_TIME_BLOCK, B)
     x_f = jnp.swapaxes(x_f_bt, 0, 1)
     x_b = jnp.swapaxes(x_b_bt, 0, 1)
-    # padded length must satisfy both grids (both blocks are powers of two);
-    # padding sits at the tail of each direction's processing order, so the
-    # h0 = 0 carry enters the valid region untouched
-    quant = max(tb_f, tb_b)
+    # padded length must satisfy both grids — lcm so arbitrary user block
+    # overrides stay exact (see _run_direction); padding sits at the tail of
+    # each direction's processing order, so the h0 = 0 carry enters the valid
+    # region untouched
+    quant = math.lcm(tb_f, tb_b)
     Tp = -(-T // quant) * quant
     if Tp != T:
         pad = ((0, Tp - T), (0, 0), (0, 0))
@@ -656,3 +661,471 @@ def bigru_apply_pallas_streams(params, x_fwd, x_bwd, time_block: int | None = No
     processing order — the caller undoes the reversal.
     """
     return _bigru_streams(params, x_fwd, x_bwd, time_block)
+
+
+# ---------------------------------------------------------------------------
+# Shared-stream joint bidirectional kernels (round 3)
+#
+# The joint kernels above take each direction's input pre-arranged in its
+# own processing order, which costs a materialized jnp.flip copy of the
+# layer input (and of dy/hp in the backward pass) plus an unflip of the
+# backward outputs — pure HBM traffic the roofline byte model charges
+# nowhere. These kernels read ONE natural-time-order stream for both
+# directions instead: grid step i streams block i (forward direction) and
+# block N-1-i (backward direction) of the *same* array, the backward
+# direction walks its block's rows in reverse, and writes its outputs back
+# at natural time positions. No flips exist anywhere in the pipeline.
+#
+# Streams are TIME-MAJOR (T, B, D): pallas BlockSpecs slice, they do not
+# transpose, so the (tb, B, D) VMEM blocks the step loop wants must be
+# contiguous in HBM. The encoder keeps layer streams time-major end-to-end
+# (one transpose at the conv->RNN boundary, one at the stack end).
+#
+# The layer input arrives as a TUPLE of part streams (the previous layer's
+# h_f, h_b, never concatenated): the channel concat the old path
+# materialized between every pair of GRU layers is gone; gi = [x1|x2]@W_ih
+# happens in VMEM.
+#
+# Padding (Tp > T, pad rows at the natural end): the forward direction
+# walks pads last (outputs sliced off); the backward direction walks them
+# FIRST, so its hidden carry is held at zero until the walk enters the
+# valid region (one select per step; T is a trace-time constant).
+#
+# Eval mode fuses the following avg/max ceil-mode downsample into the
+# kernel epilogue: outputs are written at the POOLED rate — the byte
+# model's "producer writes once, already pooled" floor.
+# ---------------------------------------------------------------------------
+
+
+def _mk_shared_fwd_kernel(n_parts: int, tb: int, T: int, pool: int, method: str,
+                          H: int):
+    """Generate the shared-stream forward kernel body (static closure)."""
+
+    def kernel(*refs):
+        xn = refs[:n_parts]                      # natural block i (fwd dir)
+        xr = refs[n_parts:2 * n_parts]           # block N-1-i (bwd dir source)
+        (wihf, bihf, whhf, bhhf,
+         wihb, bihb, whhb, bhhb) = refs[2 * n_parts:2 * n_parts + 8]
+        outf_ref, outb_ref = refs[2 * n_parts + 8:2 * n_parts + 10]
+        scratch = refs[2 * n_parts + 10:]
+        hf_ref, hb_ref, gif_ref, gib_ref = scratch[:4]
+        i = pl.program_id(0)
+        nb = pl.num_programs(0)
+        B = hf_ref.shape[0]
+
+        @pl.when(i == 0)
+        def _():
+            hf_ref[:] = jnp.zeros_like(hf_ref)
+            hb_ref[:] = jnp.zeros_like(hb_ref)
+
+        def project(x_refs, wih_ref, bih_ref, gi_ref):
+            # one batched MXU matmul per block; parts concatenate in VMEM
+            xs = [r[:].reshape(tb * B, r.shape[-1]) for r in x_refs]
+            x = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=1)
+            gi_ref[:] = (
+                jnp.dot(x.astype(wih_ref.dtype), wih_ref[:],
+                        preferred_element_type=jnp.float32)
+                + bih_ref[0].astype(jnp.float32)
+            ).reshape(tb, B, 3 * H)
+
+        project(xn, wihf, bihf, gif_ref)
+        project(xr, wihb, bihb, gib_ref)
+
+        def one(gi, h, w_ref, b_ref):
+            gh = (
+                jnp.dot(h.astype(w_ref.dtype), w_ref[:],
+                        preferred_element_type=jnp.float32)
+                + b_ref[0].astype(jnp.float32)
+            )
+            r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
+            z = jax.nn.sigmoid(gi[:, H:2 * H] + gh[:, H:2 * H])
+            n = jnp.tanh(gi[:, 2 * H:] + r * gh[:, 2 * H:])
+            return (1.0 - z) * n + z * h
+
+        t0_rev = (nb - 1 - i) * tb  # global t of row 0 of the bwd-dir block
+        if pool == 1:
+            bf_ref, bb_ref = outf_ref, outb_ref
+        else:
+            bf_ref, bb_ref = scratch[4:6]
+
+        def step(u, carry):
+            hf, hb = carry
+            hf = one(gif_ref[u], hf, whhf, bhhf)
+            rb = tb - 1 - u  # bwd dir walks its block's rows in reverse
+            hb_new = one(gib_ref[rb], hb, whhb, bhhb)
+            # hold the carry at zero through the pad rows the bwd dir walks
+            # first; their output rows get the carried zero
+            hb = jnp.where(t0_rev + rb < T, hb_new, hb)
+            bf_ref[u] = hf.astype(bf_ref.dtype)
+            bb_ref[rb] = hb.astype(bb_ref.dtype)
+            return hf, hb
+
+        hf, hb = jax.lax.fori_loop(0, tb, step, (hf_ref[:], hb_ref[:]))
+        hf_ref[:] = hf
+        hb_ref[:] = hb
+
+        if pool > 1:
+            # fused ceil-mode pool: outputs written at the pooled rate.
+            # Windows never straddle blocks (pool | tb). torch semantics:
+            # avg divides a trailing partial window by its in-range count;
+            # max treats out-of-range rows as -inf (ops/conv.py).
+            iota = jax.lax.broadcasted_iota(jnp.int32, (tb, 1, 1), 0)
+            vf = (i * tb + iota) < T
+            vb = (t0_rev + iota) < T
+
+            def pooled(blk_ref, valid, out_ref):
+                h = blk_ref[:]
+                if method == "max":
+                    hm = jnp.where(valid, h, -jnp.inf)
+                    out = hm.reshape(tb // pool, pool, B, H).max(axis=1)
+                else:
+                    hm = jnp.where(valid, h, 0.0)
+                    cnt = valid.astype(jnp.float32).reshape(
+                        tb // pool, pool, 1, 1
+                    ).sum(axis=1)
+                    out = hm.reshape(tb // pool, pool, B, H).sum(axis=1) / (
+                        jnp.maximum(cnt, 1.0)
+                    )
+                out_ref[:] = out.astype(out_ref.dtype)
+
+            pooled(bf_ref, vf, outf_ref)
+            pooled(bb_ref, vb, outb_ref)
+
+    return kernel
+
+
+def _shared_fwd_call(parts, wih_f, bih_f, whh_f, bhh_f,
+                     wih_b, bih_b, whh_b, bhh_b, *, tb: int, T: int,
+                     pool: int = 1, pool_method: str = "avg"):
+    """parts: tuple of natural-order time-major (Tp, B, Dp) streams.
+
+    Returns (h_f, h_b) in natural time order: (Tp, B, H) when pool == 1,
+    (Tp//pool, B, H) when the downsample is fused.
+    """
+    n_parts = len(parts)
+    Tp, B, _ = parts[0].shape
+    H = whh_f.shape[0]
+    dims = tuple(p.shape[-1] for p in parts)
+    dt = parts[0].dtype
+    N = Tp // tb
+    assert Tp % tb == 0 and (pool == 1 or tb % pool == 0)
+
+    def nat(d):
+        return pl.BlockSpec((tb, B, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    def rev(d):
+        return pl.BlockSpec(
+            (tb, B, d), lambda i: (N - 1 - i, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    to = tb // pool
+    out_f = pl.BlockSpec((to, B, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_b = pl.BlockSpec(
+        (to, B, H), lambda i: (N - 1 - i, 0, 0), memory_space=pltpu.VMEM
+    )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((B, H), jnp.float32),
+        pltpu.VMEM((B, H), jnp.float32),
+        pltpu.VMEM((tb, B, 3 * H), jnp.float32),
+        pltpu.VMEM((tb, B, 3 * H), jnp.float32),
+    ]
+    if pool > 1:
+        scratch += [
+            pltpu.VMEM((tb, B, H), jnp.float32),
+            pltpu.VMEM((tb, B, H), jnp.float32),
+        ]
+    return pl.pallas_call(
+        _mk_shared_fwd_kernel(n_parts, tb, T, pool, pool_method, H),
+        grid=(N,),
+        in_specs=[nat(d) for d in dims] + [rev(d) for d in dims] + [full] * 8,
+        out_specs=[out_f, out_b],
+        out_shape=[jax.ShapeDtypeStruct((Tp // pool, B, H), dt)] * 2,
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+    )(*parts, *parts,
+      wih_f.astype(dt), bih_f[None, :], whh_f.astype(dt), bhh_f[None, :],
+      wih_b.astype(dt), bih_b[None, :], whh_b.astype(dt), bhh_b[None, :])
+
+
+def _mk_shared_bwd_kernel(n_parts: int, tb: int, T: int, H: int, dims):
+    """Gradient kernel: fwd-dir grad walks blocks N-1..0 (rows reversed),
+    bwd-dir grad walks blocks 0..N-1 (rows natural) — both over the same
+    natural-order streams, no flip copies anywhere."""
+
+    def kernel(*refs):
+        k = 0
+        xr = refs[k:k + n_parts]; k += n_parts   # block N-1-i (fwd-dir grad)
+        xn = refs[k:k + n_parts]; k += n_parts   # block i (bwd-dir grad)
+        hpf_ref, dyf_ref, hpb_ref, dyb_ref = refs[k:k + 4]; k += 4
+        (wihf, wihtf, whhf, whhtf, bihf, bhhf,
+         wihb, wihtb, whhb, whhtb, bihb, bhhb) = refs[k:k + 12]; k += 12
+        dxf = refs[k:k + n_parts]; k += n_parts
+        dxb = refs[k:k + n_parts]; k += n_parts
+        (dwihf_ref, dbihf_ref, dwhhf_ref, dbhhf_ref,
+         dwihb_ref, dbihb_ref, dwhhb_ref, dbhhb_ref) = refs[k:k + 8]; k += 8
+        (dhf_ref, dhb_ref, gatesf_ref, gatesb_ref,
+         dgif_ref, dgib_ref) = refs[k:k + 6]
+        i = pl.program_id(0)
+        nb = pl.num_programs(0)
+        B = dhf_ref.shape[0]
+
+        @pl.when(i == 0)
+        def _():
+            for ref in (dhf_ref, dhb_ref, dwihf_ref, dbihf_ref, dwhhf_ref,
+                        dbhhf_ref, dwihb_ref, dbihb_ref, dwhhb_ref, dbhhb_ref):
+                ref[:] = jnp.zeros_like(ref)
+
+        def cat(x_refs):
+            xs = [r[:].reshape(tb * B, r.shape[-1]) for r in x_refs]
+            return xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=1)
+
+        def precompute(x_refs, hp_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
+                       gates_ref):
+            gi = (
+                jnp.dot(cat(x_refs).astype(wih_ref.dtype), wih_ref[:],
+                        preferred_element_type=jnp.float32)
+                + bih_ref[0].astype(jnp.float32)
+            )
+            hp = hp_ref[:].astype(jnp.float32).reshape(tb * B, H)
+            gh = (
+                jnp.dot(hp.astype(whh_ref.dtype), whh_ref[:],
+                        preferred_element_type=jnp.float32)
+                + bhh_ref[0].astype(jnp.float32)
+            )
+            r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
+            z = jax.nn.sigmoid(gi[:, H:2 * H] + gh[:, H:2 * H])
+            gh_n = gh[:, 2 * H:]
+            n = jnp.tanh(gi[:, 2 * H:] + r * gh_n)
+            gates_ref[:] = jnp.concatenate(
+                [gh_n * r * (1.0 - r), z, n, r], axis=1
+            ).reshape(tb, B, 4 * H)
+
+        precompute(xr, hpf_ref, wihf, bihf, whhf, bhhf, gatesf_ref)
+        precompute(xn, hpb_ref, wihb, bihb, whhb, bhhb, gatesb_ref)
+
+        def grads_at(u, dh_in, hp_ref, dy_ref, gates_ref):
+            h_prev = hp_ref[u].astype(jnp.float32)
+            dh = dh_in + dy_ref[u].astype(jnp.float32)
+            g = gates_ref[u]
+            rfac = g[:, :H]
+            z = g[:, H:2 * H]
+            n = g[:, 2 * H:3 * H]
+            r = g[:, 3 * H:]
+            dn_pre = dh * (1.0 - z) * (1.0 - n * n)
+            dz_pre = dh * (h_prev - n) * z * (1.0 - z)
+            dr_pre = dn_pre * rfac
+            dgi = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
+            dgh = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=1)
+            return dgi, dgh, dh * z
+
+        t0b = i * tb  # global t of row 0 of the bwd-dir-grad block
+
+        def step(u, carry):
+            dhf, dhb = carry
+            # fwd-dir grad: time descending -> rows reversed. Pads come
+            # first with dy = 0, so dh stays 0 through them (no mask).
+            rf = tb - 1 - u
+            dgi_f, dgh_f, keep_f = grads_at(rf, dhf, hpf_ref, dyf_ref, gatesf_ref)
+            dgif_ref[rf] = dgi_f
+            dhf = (
+                jnp.dot(dgh_f.astype(whhtf.dtype), whhtf[:],
+                        preferred_element_type=jnp.float32)
+                + keep_f
+            )
+            # bwd-dir grad: time ascending, pads at the END of the walk
+            # with dh possibly nonzero -> mask dgi so the batched dW/db
+            # epilogue accumulates exactly zero there.
+            dgi_b, dgh_b, keep_b = grads_at(u, dhb, hpb_ref, dyb_ref, gatesb_ref)
+            dgib_ref[u] = jnp.where(t0b + u < T, dgi_b, 0.0)
+            dhb = (
+                jnp.dot(dgh_b.astype(whhtb.dtype), whhtb[:],
+                        preferred_element_type=jnp.float32)
+                + keep_b
+            )
+            return dhf, dhb
+
+        dhf, dhb = jax.lax.fori_loop(0, tb, step, (dhf_ref[:], dhb_ref[:]))
+        dhf_ref[:] = dhf
+        dhb_ref[:] = dhb
+
+        def epilogue(x_refs, hp_ref, gates_ref, dgi_ref, wiht_ref, dx_refs,
+                     dwih_ref, dbih_ref, dwhh_ref, dbhh_ref):
+            dgi = dgi_ref[:].reshape(tb * B, 3 * H)
+            x = cat(x_refs)
+            hp = hp_ref[:].astype(jnp.float32).reshape(tb * B, H)
+            r = gates_ref[:].reshape(tb * B, 4 * H)[:, 3 * H:]
+            dgh = jnp.concatenate([dgi[:, :2 * H], dgi[:, 2 * H:] * r], axis=1)
+            dx = jnp.dot(dgi.astype(wiht_ref.dtype), wiht_ref[:],
+                         preferred_element_type=jnp.float32)
+            off = 0
+            for dx_ref, d in zip(dx_refs, dims):
+                dx_ref[:] = dx[:, off:off + d].reshape(tb, B, d).astype(dx_ref.dtype)
+                off += d
+            dwih_ref[:] += jnp.dot(x.T.astype(jnp.float32), dgi,
+                                   preferred_element_type=jnp.float32)
+            dbih_ref[:] += jnp.sum(dgi, axis=0, keepdims=True)
+            dwhh_ref[:] += jnp.dot(hp.T, dgh, preferred_element_type=jnp.float32)
+            dbhh_ref[:] += jnp.sum(dgh, axis=0, keepdims=True)
+
+        epilogue(xr, hpf_ref, gatesf_ref, dgif_ref, wihtf, dxf,
+                 dwihf_ref, dbihf_ref, dwhhf_ref, dbhhf_ref)
+        epilogue(xn, hpb_ref, gatesb_ref, dgib_ref, wihtb, dxb,
+                 dwihb_ref, dbihb_ref, dwhhb_ref, dbhhb_ref)
+
+    return kernel
+
+
+def _shared_bwd_call(parts, hp_f, hp_b, dy_f, dy_b,
+                     wih_f, bih_f, whh_f, bhh_f,
+                     wih_b, bih_b, whh_b, bhh_b, *, tb: int, T: int):
+    n_parts = len(parts)
+    Tp, B, _ = parts[0].shape
+    H = whh_f.shape[0]
+    threeH = 3 * H
+    dims = tuple(p.shape[-1] for p in parts)
+    D = sum(dims)
+    dt = parts[0].dtype
+    N = Tp // tb
+
+    def nat(d):
+        return pl.BlockSpec((tb, B, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    def rev(d):
+        return pl.BlockSpec(
+            (tb, B, d), lambda i: (N - 1 - i, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    fixed_ih = pl.BlockSpec((D, threeH), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    fixed_hh = pl.BlockSpec((H, threeH), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    fixed_b = pl.BlockSpec((1, threeH), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    grads_shape = [
+        jax.ShapeDtypeStruct((D, threeH), jnp.float32),
+        jax.ShapeDtypeStruct((1, threeH), jnp.float32),
+        jax.ShapeDtypeStruct((H, threeH), jnp.float32),
+        jax.ShapeDtypeStruct((1, threeH), jnp.float32),
+    ]
+    out = pl.pallas_call(
+        _mk_shared_bwd_kernel(n_parts, tb, T, H, dims),
+        grid=(N,),
+        in_specs=(
+            [rev(d) for d in dims] + [nat(d) for d in dims]
+            + [rev(H), rev(H), nat(H), nat(H)]
+            + [full] * 12
+        ),
+        out_specs=(
+            [rev(d) for d in dims] + [nat(d) for d in dims]
+            + [fixed_ih, fixed_b, fixed_hh, fixed_b] * 2
+        ),
+        out_shape=(
+            [jax.ShapeDtypeStruct((Tp, B, d), dt) for d in dims] * 2
+            + grads_shape + grads_shape
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((tb, B, 4 * H), jnp.float32),
+            pltpu.VMEM((tb, B, 4 * H), jnp.float32),
+            pltpu.VMEM((tb, B, 3 * H), jnp.float32),
+            pltpu.VMEM((tb, B, 3 * H), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(*parts, *parts, hp_f, dy_f, hp_b, dy_b,
+      wih_f.astype(dt), wih_f.T.astype(dt), whh_f.astype(dt),
+      whh_f.T.astype(dt), bih_f[None, :], bhh_f[None, :],
+      wih_b.astype(dt), wih_b.T.astype(dt), whh_b.astype(dt),
+      whh_b.T.astype(dt), bih_b[None, :], bhh_b[None, :])
+    dx_f = out[:n_parts]
+    dx_b = out[n_parts:2 * n_parts]
+    # the two directions' input cotangents land at different grid steps;
+    # XLA sums them (one fused elementwise pass)
+    dxs = tuple(a + b for a, b in zip(dx_f, dx_b))
+    return dxs + tuple(out[2 * n_parts:])
+
+
+def _shared_train_core_for(tb_f: int, tb_b: int, T: int, dims: tuple):
+    """Custom-VJP shared-stream core over padded time-major part streams."""
+    key = ("shared", tb_f, tb_b, T, dims)
+    if key in _BIGRU_CACHE:
+        return _BIGRU_CACHE[key]
+    n_parts = len(dims)
+
+    @jax.custom_vjp
+    def core(*args):
+        parts = args[:n_parts]
+        return tuple(_shared_fwd_call(parts, *args[n_parts:], tb=tb_f, T=T))
+
+    def _fwd(*args):
+        parts = args[:n_parts]
+        h_f, h_b = _shared_fwd_call(parts, *args[n_parts:], tb=tb_f, T=T)
+        return (h_f, h_b), (parts, h_f, h_b, args[n_parts:])
+
+    def _bwd(res, dY):
+        parts, h_f, h_b, weights = res
+        dy_f, dy_b = dY
+        Tp, B, _ = parts[0].shape
+        H = h_f.shape[-1]
+        zero = jnp.zeros((1, B, H), h_f.dtype)
+        # previous hidden in each direction's PROCESSING order, at natural
+        # time positions: fwd processed t-1 before t; bwd processed t+1.
+        hp_f = jnp.concatenate([zero, h_f[:-1]], axis=0)
+        hp_b = jnp.concatenate([h_b[1:], zero], axis=0)
+        outs = _shared_bwd_call(
+            parts, hp_f, hp_b, dy_f, dy_b, *weights, tb=tb_b, T=T
+        )
+        dxs = outs[:n_parts]
+        (dwih_f, dbih_f, dwhh_f, dbhh_f,
+         dwih_b, dbih_b, dwhh_b, dbhh_b) = outs[n_parts:]
+        return dxs + (dwih_f, dbih_f[0], dwhh_f, dbhh_f[0],
+                      dwih_b, dbih_b[0], dwhh_b, dbhh_b[0])
+
+    core.defvjp(_fwd, _bwd)
+    _BIGRU_CACHE[key] = core
+    return core
+
+
+def bigru_apply_shared(params, parts, *, time_block: int | None = None,
+                       train: bool = False, pool: int = 1,
+                       pool_method: str = "avg"):
+    """Shared-stream joint bidirectional GRU over time-major part streams.
+
+    ``parts``: tuple of (T, B, Dp) natural-order streams (the previous
+    layer's h_f/h_b, or the single conv-stack output). Returns
+    ``(h_f, h_b, pooled)`` with both outputs time-major in natural order:
+
+    * ``train=True`` — full-rate (T, B, H) outputs through the custom-VJP
+      core (gradients flow; the caller applies dropout/downsample).
+    * ``train=False`` with ``pool > 1`` and an eligible method — the
+      ceil-mode downsample fuses into the kernel epilogue and the outputs
+      are (ceil(T/pool), B, H); ``pooled=True``. The eval path is not
+      differentiable (no VJP) by design.
+    """
+    T, B, _ = parts[0].shape
+    tb_f = time_block or (64 if B <= 8 else _auto_tb(TIME_BLOCK, B))
+    tb_b = _auto_tb(BWD_TIME_BLOCK, B)
+    f, b = params["fwd"], params["bwd"]
+    weights = (f["w_ih"], f["b_ih"], f["w_hh"], f["b_hh"],
+               b["w_ih"], b["b_ih"], b["w_hh"], b["b_hh"])
+    if train:
+        quant = math.lcm(tb_f, tb_b)
+        Tp = -(-T // quant) * quant
+        if Tp != T:
+            parts = tuple(
+                jnp.pad(p, ((0, Tp - T), (0, 0), (0, 0))) for p in parts
+            )
+        core = _shared_train_core_for(tb_f, tb_b, T, tuple(p.shape[-1] for p in parts))
+        h_f, h_b = core(*parts, *weights)
+        return h_f[:T], h_b[:T], False
+    Tp = -(-T // tb_f) * tb_f
+    if Tp != T:
+        parts = tuple(jnp.pad(p, ((0, Tp - T), (0, 0), (0, 0))) for p in parts)
+    fuse = pool > 1 and pool_method in ("avg", "max") and tb_f % pool == 0
+    h_f, h_b = _shared_fwd_call(
+        parts, *weights, tb=tb_f, T=T,
+        pool=pool if fuse else 1, pool_method=pool_method,
+    )
+    if fuse:
+        To = -(-T // pool)
+        return h_f[:To], h_b[:To], True
+    return h_f[:T], h_b[:T], False
