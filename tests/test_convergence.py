@@ -1,0 +1,92 @@
+"""Convergence regression gates: one per training mode (VERDICT r2 #3).
+
+The committed demo artifacts (experiments/demo_synthetic_*) record what the
+flagship topology reaches on the synthetic tone task on real hardware
+(FSC-demo valid acc 0.988). CI can't afford flagship-scale training, so
+these gates train the small test topology on the same tone-coded recipe and
+assert accuracy floors well above chance — a regression here means the
+training path (loss, optimizer, unfreezing, data pipeline) broke, not that
+the tuning drifted. Floors are calibrated ~30-50% below measured results so
+run-to-run noise doesn't flake.
+"""
+
+import numpy as np
+import pytest
+
+from tests import fixtures
+from tpu_slu import read_config
+from tpu_slu.data.datasets import get_ASR_datasets, get_SLU_datasets
+from tpu_slu.models import Model
+from tpu_slu.models.encoder import PretrainedModel
+from tpu_slu.training.trainer import Trainer
+
+pytestmark = pytest.mark.slow
+
+
+def test_slu_training_converges(tmp_path):
+    """Fixed-intent SLU: tone-coded slots are fully decodable from audio, so
+    the small model must clear 70% all-slots-correct (chance = 12.5%).
+    Flagship-on-hardware reference: 0.988 (experiments/demo_synthetic_fsc)."""
+    slu_root = fixtures.make_slu_dataset(str(tmp_path / "fsc"), n_train=96)
+    cfg = fixtures.write_cfg(
+        str(tmp_path / "exp.cfg"), folder=str(tmp_path / "exp"), slu_path=slu_root
+    )
+    config = read_config(cfg)
+    fixtures.write_phonemes_txt(config.folder)
+    np.random.seed(0)
+    train, valid, _ = get_SLU_datasets(config)
+    model = Model(config)
+    trainer = Trainer(model, config)
+    accs = []
+    for _ in range(8):
+        acc, _ = trainer.train(train)
+        accs.append(acc)
+    valid_acc, _ = trainer.test(valid)
+    assert accs[-1] > 0.7, f"train accs {accs}"
+    assert valid_acc > 0.6, f"valid acc {valid_acc} (train accs {accs})"
+
+
+def test_asr_pretraining_converges(tmp_path):
+    """ASR pre-training: tone-coded phoneme segments must push frame-level
+    phoneme accuracy past 60% (chance ~= 1/n_phonemes)."""
+    asr_root = fixtures.make_asr_dataset(str(tmp_path / "libri"))
+    cfg = fixtures.write_cfg(
+        str(tmp_path / "exp.cfg"), folder=str(tmp_path / "exp"),
+        asr_path=asr_root, pretraining_type=2,
+    )
+    config = read_config(cfg)
+    np.random.seed(0)
+    train, valid, _ = get_ASR_datasets(config)
+    model = PretrainedModel(config)
+    trainer = Trainer(model, config)
+    for _ in range(6):
+        results = trainer.train(train)
+    pa, _, _, _ = trainer.test(valid)
+    assert results[0] > 0.5, f"final train phoneme acc {results[0]}"
+    assert pa > 0.5, f"valid phoneme acc {pa}"
+
+
+def test_seq2seq_training_converges(tmp_path):
+    """Seq2seq: teacher-forced per-label log-loss must fall well below the
+    uniform-vocabulary baseline, and beam decode must produce exact matches
+    on the tone task (chance is ~0)."""
+    slu_root = fixtures.make_slu_dataset(str(tmp_path / "fsc"), n_train=96)
+    cfg = fixtures.write_cfg(
+        str(tmp_path / "exp.cfg"), folder=str(tmp_path / "exp"),
+        slu_path=slu_root, extra="seq2seq=True\ndecode_acc_from_epoch=6\n",
+    )
+    config = read_config(cfg)
+    fixtures.write_phonemes_txt(config.folder)
+    np.random.seed(0)
+    train, valid, _ = get_SLU_datasets(config)
+    model = Model(config)
+    trainer = Trainer(model, config)
+    losses = []
+    for _ in range(8):
+        _, loss = trainer.train(train)
+        losses.append(loss)
+    vacc, vloss = trainer.test(valid)  # epoch >= 6: string-exact-match eval
+    uniform = np.log(len(config.Sy_intent))
+    assert losses[-1] < 0.5 * losses[0], f"losses {losses}"
+    assert vloss < uniform, f"valid loss {vloss} vs uniform {uniform}"
+    assert vacc > 0.2, f"valid exact-match {vacc}"

@@ -202,3 +202,67 @@ class TestEncoderChain:
                 np.asarray(leaf_g), np.asarray(leaf_r), rtol=2e-4, atol=1e-5,
                 err_msg=str(path_r),
             )
+
+
+def test_intent_logits_chain_matches_scan(rng, monkeypatch):
+    """The intent head walks _apply_stack too — the chain must finalize its
+    part streams before the linear head (caught live: PartsTM @ tracer)."""
+    monkeypatch.setenv("TPU_SLU_PALLAS_INTERPRET", "1")
+    from tpu_slu.models import slu as slu_mod
+    from tpu_slu.models.encoder import LayerSpec
+    from tpu_slu.models.slu import IntentArch, init_intent_params
+
+    arch = IntentArch(
+        layers=(
+            LayerSpec("gru", 0, "intent_rnn0", (12, 8, True)),
+            LayerSpec("select", 1, "s", ()),
+            LayerSpec("dropout", 2, "d", (0.5,)),
+            LayerSpec("downsample", 3, "ds", ("none", 1)),
+        ),
+        linear_index=4,
+        feat_dim=16,
+        values_per_slot=(2, 3),
+    )
+    params = init_intent_params(jax.random.PRNGKey(6), arch)
+    feats = jnp.asarray(rng.standard_normal((3, 20, 12), dtype=np.float32))
+    ref = slu_mod.intent_logits(params, arch, feats, gru_impl="scan")
+    got = slu_mod.intent_logits(params, arch, feats, gru_impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    # and through a gradient (the live failure was under value_and_grad)
+    def loss(p, impl):
+        return jnp.sum(slu_mod.intent_logits(p, arch, feats, gru_impl=impl))
+
+    ref_g = jax.grad(lambda p: loss(p, "scan"))(params)
+    got_g = jax.grad(lambda p: loss(p, "pallas"))(params)
+    for a, b in zip(jax.tree.leaves(ref_g), jax.tree.leaves(got_g)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
+
+
+def test_pooled_eval_path_is_differentiable(rng):
+    """Gradients THROUGH the fused-pool eval path: the custom bwd recomputes
+    via the full-rate core + a differentiable pool replica."""
+    B, T, D, H, k = 3, 21, 6, 8, 2
+    x = jnp.asarray(rng.standard_normal((B, T, D), dtype=np.float32))
+    params = ops.gru_init(jax.random.PRNGKey(7), D, H, bidirectional=True)
+    To = -(-T // k)
+    wout = jnp.asarray(rng.standard_normal((To, B, 2 * H), dtype=np.float32))
+
+    def ref_loss(params, x):
+        out = ops.downsample(scan_ref(params, x), "avg", k, time_axis=1)
+        return jnp.sum(jnp.swapaxes(out, 0, 1) * wout)
+
+    def got_loss(params, x):
+        h_f, h_b, pooled = bigru_apply_shared(
+            params, (jnp.swapaxes(x, 0, 1),), pool=k, pool_method="avg"
+        )
+        assert pooled
+        return jnp.sum(jnp.concatenate([h_f, h_b], -1) * wout)
+
+    ref_gp, ref_gx = jax.grad(ref_loss, argnums=(0, 1))(params, x)
+    got_gp, got_gx = jax.grad(got_loss, argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(got_gx), np.asarray(ref_gx),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(ref_gp), jax.tree.leaves(got_gp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)

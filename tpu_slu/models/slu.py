@@ -98,6 +98,8 @@ def intent_logits(params, arch: IntentArch, feats, *, train=False, rng=None, gru
     out, _, n = enc._apply_stack(
         params, arch.layers, feats, train=train, rng=rng, gru_impl=gru_impl, n=n_frames
     )
+    if isinstance(out, enc.PartsTM):  # shared-kernel chain: finalize streams
+        out = enc._parts_to_btc(out)
     lin = params[str(arch.linear_index)]
     out = out @ lin["w"] + lin["b"]
     if n is not None:

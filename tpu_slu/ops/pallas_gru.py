@@ -1085,6 +1085,66 @@ def _shared_train_core_for(tb_f: int, tb_b: int, T: int, dims: tuple):
     return core
 
 
+def _masked_pool_tm(h, T: int, pool: int, method: str):
+    """The fused kernel's masked ceil-pool, as differentiable XLA ops over a
+    padded (Tp, B, H) stream — used only to recompute gradients through the
+    pooled eval path (see _shared_pooled_core_for)."""
+    Tp = h.shape[0]
+    valid = (jnp.arange(Tp) < T)[:, None, None]
+    if method == "max":
+        hm = jnp.where(valid, h, -jnp.inf)
+        return hm.reshape(Tp // pool, pool, *h.shape[1:]).max(axis=1)
+    hm = jnp.where(valid, h, 0.0)
+    cnt = valid.astype(jnp.float32).reshape(Tp // pool, pool, 1, 1).sum(axis=1)
+    return hm.reshape(Tp // pool, pool, *h.shape[1:]).sum(axis=1) / jnp.maximum(cnt, 1.0)
+
+
+def _shared_pooled_core_for(tb_f: int, tb_b: int, T: int, dims: tuple,
+                            pool: int, method: str):
+    """Pooled eval path with exact gradients on demand.
+
+    The primal runs the fused-pool kernel (outputs written at the pooled
+    rate — the cheap path the encoder benchmark measures). If somebody
+    differentiates an eval call anyway (e.g. a user's custom loss), the
+    backward RECOMPUTES the forward through the full-rate custom-VJP core
+    plus a differentiable XLA replica of the kernel's masked pool — exact
+    gradients at the cost of a second forward, paid only under AD.
+    """
+    key = ("pooled", tb_f, tb_b, T, dims, pool, method)
+    if key in _BIGRU_CACHE:
+        return _BIGRU_CACHE[key]
+    n_parts = len(dims)
+
+    def run(*args):
+        return tuple(_shared_fwd_call(
+            args[:n_parts], *args[n_parts:], tb=tb_f, T=T,
+            pool=pool, pool_method=method,
+        ))
+
+    @jax.custom_vjp
+    def core(*args):
+        return run(*args)
+
+    def _fwd(*args):
+        return run(*args), args
+
+    def _bwd(args, dY):
+        train_core = _shared_train_core_for(tb_f, tb_b, T, dims)
+
+        def composite(*a):
+            h_f, h_b = train_core(*a)
+            return _masked_pool_tm(h_f, T, pool, method), _masked_pool_tm(
+                h_b, T, pool, method
+            )
+
+        _, vjp_fn = jax.vjp(composite, *args)
+        return vjp_fn(dY)
+
+    core.defvjp(_fwd, _bwd)
+    _BIGRU_CACHE[key] = core
+    return core
+
+
 def bigru_apply_shared(params, parts, *, time_block: int | None = None,
                        train: bool = False, pool: int = 1,
                        pool_method: str = "avg"):
@@ -1107,25 +1167,19 @@ def bigru_apply_shared(params, parts, *, time_block: int | None = None,
     f, b = params["fwd"], params["bwd"]
     weights = (f["w_ih"], f["b_ih"], f["w_hh"], f["b_hh"],
                b["w_ih"], b["b_ih"], b["w_hh"], b["b_hh"])
-    if train:
-        quant = math.lcm(tb_f, tb_b)
-        Tp = -(-T // quant) * quant
-        if Tp != T:
-            parts = tuple(
-                jnp.pad(p, ((0, Tp - T), (0, 0), (0, 0))) for p in parts
-            )
-        core = _shared_train_core_for(tb_f, tb_b, T, tuple(p.shape[-1] for p in parts))
-        h_f, h_b = core(*parts, *weights)
-        return h_f[:T], h_b[:T], False
-    Tp = -(-T // tb_f) * tb_f
+    # lcm quantization keeps the backward grid exact for any block override
+    # — and the eval paths stay differentiable-on-demand, whose backward
+    # runs the tb_b-grid kernel over the same padded streams.
+    quant = math.lcm(tb_f, tb_b)
+    Tp = -(-T // quant) * quant
     if Tp != T:
         parts = tuple(jnp.pad(p, ((0, Tp - T), (0, 0), (0, 0))) for p in parts)
-    fuse = pool > 1 and pool_method in ("avg", "max") and tb_f % pool == 0
-    h_f, h_b = _shared_fwd_call(
-        parts, *weights, tb=tb_f, T=T,
-        pool=pool if fuse else 1, pool_method=pool_method,
-    )
-    if fuse:
+    dims = tuple(p.shape[-1] for p in parts)
+    if not train and pool > 1 and pool_method in ("avg", "max") and tb_f % pool == 0:
+        core = _shared_pooled_core_for(tb_f, tb_b, T, dims, pool, pool_method)
+        h_f, h_b = core(*parts, *weights)
         To = -(-T // pool)
         return h_f[:To], h_b[:To], True
+    core = _shared_train_core_for(tb_f, tb_b, T, dims)
+    h_f, h_b = core(*parts, *weights)
     return h_f[:T], h_b[:T], False
