@@ -1,0 +1,92 @@
+"""Same-process A/B of encoder-forward variants on the real chip.
+
+The relay/chip throughput swings ±40% across minutes (CLAUDE.md), so
+cross-process comparisons lie; this tool measures every requested variant
+with interleaved rounds in ONE process and prints a table.
+
+Run: python tools/bench_ab.py --batches 128,256 --impls pallas,pallas-nochain
+     [--seconds 4] [--rounds 6] [--iters 60]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batches", default="128,256")
+    parser.add_argument("--impls", default="pallas,pallas-nochain")
+    parser.add_argument("--seconds", type=float, default=4.0)
+    parser.add_argument("--rounds", type=int, default=6)
+    parser.add_argument("--iters", type=int, default=60)
+    parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    import tempfile
+
+    import __graft_entry__
+    from tpu_slu.models import encoder as enc
+    from tpu_slu.models.slu import Model
+
+    config = __graft_entry__._make_config(tempfile.mkdtemp(), small=False)
+    model = Model(config)
+    earch = model.encoder_arch
+    params = model.params["pretrained_model"]
+    compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+
+    T = int(args.seconds * 16000)
+    variants = []
+    for b in (int(x) for x in args.batches.split(",")):
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((b, T), np.float32))
+        for impl in args.impls.split(","):
+            fwd = jax.jit(
+                lambda p, x, impl=impl: enc.encoder_features(
+                    p, earch, x, gru_impl=impl, compute_dtype=compute_dtype
+                )
+            )
+            t0 = time.time()
+            np.asarray(fwd(params, x))
+            print(f"compiled B={b} {impl}: {time.time() - t0:.1f}s", flush=True)
+            variants.append((b, impl, fwd, x))
+
+    results = {(b, impl): [] for b, impl, _, _ in variants}
+    for r in range(args.rounds):
+        for b, impl, fwd, x in variants:
+            def run(k):
+                t0 = time.time()
+                for _ in range(k):
+                    out = fwd(params, x)
+                np.asarray(out)
+                return time.time() - t0
+
+            run(1)
+            t1 = min(run(1) for _ in range(3))
+            tk = min(run(args.iters + 1) for _ in range(2))
+            if tk - t1 > 0.2 * tk:
+                results[(b, impl)].append((tk - t1) / args.iters)
+        print(f"round {r + 1}/{args.rounds} done", flush=True)
+
+    print(f"\n{'batch':>6} {'impl':>16} {'best ms':>9} {'median ms':>10} {'utt/s':>9}")
+    for (b, impl), es in results.items():
+        if not es:
+            print(f"{b:>6} {impl:>16} {'degenerate':>9}")
+            continue
+        best, med = min(es), float(np.median(es))
+        print(f"{b:>6} {impl:>16} {best * 1e3:>9.3f} {med * 1e3:>10.3f} {b / best:>9.0f}")
+
+
+if __name__ == "__main__":
+    main()

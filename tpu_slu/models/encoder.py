@@ -303,7 +303,9 @@ def _apply_stack(group_params, specs, out, *, train: bool, rng, gru_impl: str,
     # stacks thread TIME-MAJOR part streams between layers — no flips, no
     # channel concats, and in eval mode the following downsample fuses into
     # the kernel so outputs are written at the pooled rate.
-    chain = (not masked) and _pallas_active(gru_impl)
+    # "pallas-nochain" selects the processing-order kernels without the
+    # chain (A/B escape hatch, tools/bench_ab.py).
+    chain = (not masked) and _pallas_active(gru_impl) and "nochain" not in gru_impl
     parts = out if isinstance(out, PartsTM) else None
     if parts is not None:
         out = None

@@ -56,6 +56,35 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _mxu_bf16() -> bool:
+    """bf16 MXU multiplies (f32 accumulation) on TPU.
+
+    The v5e MXU natively multiplies bf16; f32 operands cost multiple passes
+    (~half throughput). The flagship encoder forward is MXU-THROUGHPUT-bound
+    at B>=128 (52 GFLOP vs a 259 MB minimum-traffic model = 203 flops/byte,
+    far above the f32 ridge point — measured: the fwd sits exactly at the
+    true-f32 wall, hbm_roofline_frac 0.59-0.61 regardless of traffic cuts).
+    Casting matmul OPERANDS to bf16 while keeping f32 VMEM streams, f32
+    accumulation and f32 gate math matches XLA's own historical default
+    precision for f32 dots on TPU and doubles the MXU rate. Interpret mode
+    (CPU tests) stays exact-f32 so parity vs the scan impl is bit-meaningful;
+    set TPU_SLU_MXU_F32=1 to force multi-pass f32 on hardware too.
+    """
+    import os
+
+    if os.environ.get("TPU_SLU_MXU_F32"):
+        return False
+    return not _interpret()
+
+
+def _mxu(a, b):
+    """In-kernel matmul at the policy precision (see _mxu_bf16)."""
+    if _mxu_bf16():
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # Fused unidirectional kernels (same design as the joint kernels below,
 # minus the second direction; used for non-bidirectional layers)
@@ -71,14 +100,14 @@ def _fused1_fwd_kernel(x_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
     TB, B, D = x_ref.shape
     H = h_ref.shape[-1]
     gi_ref[:] = (
-        jnp.dot(x_ref[:].reshape(TB * B, D), wih_ref[:], preferred_element_type=jnp.float32)
+        _mxu(x_ref[:].reshape(TB * B, D), wih_ref[:])
         + bih_ref[0].astype(jnp.float32)
     ).reshape(TB, B, 3 * H)
 
     def step(u, h):
         gi = gi_ref[u]
         gh = (
-            jnp.dot(h.astype(whh_ref.dtype), whh_ref[:], preferred_element_type=jnp.float32)
+            _mxu(h.astype(whh_ref.dtype), whh_ref[:])
             + bhh_ref[0].astype(jnp.float32)
         )
         r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
@@ -126,12 +155,12 @@ def _fused1_bwd_kernel(x_ref, hp_ref, dy_ref,
     H = hp_ref.shape[-1]
 
     gi = (
-        jnp.dot(x_ref[:].reshape(TB * B, D), wih_ref[:], preferred_element_type=jnp.float32)
+        _mxu(x_ref[:].reshape(TB * B, D), wih_ref[:])
         + bih_ref[0].astype(jnp.float32)
     )
     hp = hp_ref[:].astype(jnp.float32).reshape(TB * B, H)
     gh = (
-        jnp.dot(hp.astype(whh_ref.dtype), whh_ref[:], preferred_element_type=jnp.float32)
+        _mxu(hp.astype(whh_ref.dtype), whh_ref[:])
         + bhh_ref[0].astype(jnp.float32)
     )
     r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
@@ -156,7 +185,7 @@ def _fused1_bwd_kernel(x_ref, hp_ref, dy_ref,
         dgh = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=1)
         dgi_ref[u] = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
         return (
-            jnp.dot(dgh.astype(whht_ref.dtype), whht_ref[:], preferred_element_type=jnp.float32)
+            _mxu(dgh.astype(whht_ref.dtype), whht_ref[:])
             + dh * z
         )
 
@@ -166,12 +195,10 @@ def _fused1_bwd_kernel(x_ref, hp_ref, dy_ref,
     x = x_ref[:].reshape(TB * B, D)
     r_all = gates_ref[:].reshape(TB * B, 4 * H)[:, 3 * H :]
     dgh_all = jnp.concatenate([dgi[:, : 2 * H], dgi[:, 2 * H :] * r_all], axis=1)
-    dx_ref[:] = jnp.dot(
-        dgi.astype(wiht_ref.dtype), wiht_ref[:], preferred_element_type=jnp.float32
-    ).reshape(TB, B, D).astype(dx_ref.dtype)
-    dwih_ref[:] += jnp.dot(x.T.astype(jnp.float32), dgi, preferred_element_type=jnp.float32)
+    dx_ref[:] = _mxu(dgi.astype(wiht_ref.dtype), wiht_ref[:]).reshape(TB, B, D).astype(dx_ref.dtype)
+    dwih_ref[:] += _mxu(x.T.astype(jnp.float32), dgi)
     dbih_ref[:] += jnp.sum(dgi, axis=0, keepdims=True)
-    dwhh_ref[:] += jnp.dot(hp.T, dgh_all, preferred_element_type=jnp.float32)
+    dwhh_ref[:] += _mxu(hp.T, dgh_all)
     dbhh_ref[:] += jnp.sum(dgh_all, axis=0, keepdims=True)
 
 
@@ -264,7 +291,7 @@ def _fused_fwd_kernel(xf_ref, xb_ref,
         # whole-block input projection: one MXU matmul, result stays in VMEM
         x = x_ref[:].reshape(TB * B, D)
         gi_ref[:] = (
-            jnp.dot(x, wih_ref[:], preferred_element_type=jnp.float32)
+            _mxu(x, wih_ref[:])
             + bih_ref[0].astype(jnp.float32)
         ).reshape(TB, B, 3 * H)
 
@@ -273,7 +300,7 @@ def _fused_fwd_kernel(xf_ref, xb_ref,
 
     def one(gi, h, w_ref, b_ref):
         gh = (
-            jnp.dot(h.astype(w_ref.dtype), w_ref[:], preferred_element_type=jnp.float32)
+            _mxu(h.astype(w_ref.dtype), w_ref[:])
             + b_ref[0].astype(jnp.float32)
         )
         r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
@@ -360,12 +387,12 @@ def _fused_bwd_kernel(xf_ref, xb_ref, hpf_ref, hpb_ref, dyf_ref, dyb_ref,
     def precompute(x_ref, hp_ref, wih_ref, bih_ref, whh_ref, bhh_ref, gates_ref):
         x = x_ref[:].reshape(TB * B, D)
         gi = (
-            jnp.dot(x, wih_ref[:], preferred_element_type=jnp.float32)
+            _mxu(x, wih_ref[:])
             + bih_ref[0].astype(jnp.float32)
         )
         hp = hp_ref[:].astype(jnp.float32).reshape(TB * B, H)
         gh = (
-            jnp.dot(hp.astype(whh_ref.dtype), whh_ref[:], preferred_element_type=jnp.float32)
+            _mxu(hp.astype(whh_ref.dtype), whh_ref[:])
             + bhh_ref[0].astype(jnp.float32)
         )
         r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
@@ -394,7 +421,7 @@ def _fused_bwd_kernel(xf_ref, xb_ref, hpf_ref, hpb_ref, dyf_ref, dyb_ref,
         dgh = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=1)
         dgi_ref[u] = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
         dh_out = (
-            jnp.dot(dgh.astype(whht_ref.dtype), whht_ref[:], preferred_element_type=jnp.float32)
+            _mxu(dgh.astype(whht_ref.dtype), whht_ref[:])
             + dh * z
         )
         return dh_out
@@ -417,14 +444,10 @@ def _fused_bwd_kernel(xf_ref, xb_ref, hpf_ref, hpb_ref, dyf_ref, dyb_ref,
         r = gates_ref[:].reshape(TB * B, 4 * H)[:, 3 * H :]
         # dgh differs from dgi only in the n slot (scaled by r)
         dgh = jnp.concatenate([dgi[:, : 2 * H], dgi[:, 2 * H :] * r], axis=1)
-        dx_ref[:] = jnp.dot(
-            dgi.astype(wiht_ref.dtype), wiht_ref[:], preferred_element_type=jnp.float32
-        ).reshape(TB, B, D).astype(dx_ref.dtype)
-        dwih_ref[:] += jnp.dot(
-            x.T.astype(jnp.float32), dgi, preferred_element_type=jnp.float32
-        )
+        dx_ref[:] = _mxu(dgi.astype(wiht_ref.dtype), wiht_ref[:]).reshape(TB, B, D).astype(dx_ref.dtype)
+        dwih_ref[:] += _mxu(x.T.astype(jnp.float32), dgi)
         dbih_ref[:] += jnp.sum(dgi, axis=0, keepdims=True)
-        dwhh_ref[:] += jnp.dot(hp.T, dgh, preferred_element_type=jnp.float32)
+        dwhh_ref[:] += _mxu(hp.T, dgh)
         dbhh_ref[:] += jnp.sum(dgh, axis=0, keepdims=True)
 
     epilogue(xf_ref, hpf_ref, gatesf_ref, dgif_ref, wihtf_ref,
@@ -723,8 +746,7 @@ def _mk_shared_fwd_kernel(n_parts: int, tb: int, T: int, pool: int, method: str,
             xs = [r[:].reshape(tb * B, r.shape[-1]) for r in x_refs]
             x = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=1)
             gi_ref[:] = (
-                jnp.dot(x.astype(wih_ref.dtype), wih_ref[:],
-                        preferred_element_type=jnp.float32)
+                _mxu(x.astype(wih_ref.dtype), wih_ref[:])
                 + bih_ref[0].astype(jnp.float32)
             ).reshape(tb, B, 3 * H)
 
@@ -733,8 +755,7 @@ def _mk_shared_fwd_kernel(n_parts: int, tb: int, T: int, pool: int, method: str,
 
         def one(gi, h, w_ref, b_ref):
             gh = (
-                jnp.dot(h.astype(w_ref.dtype), w_ref[:],
-                        preferred_element_type=jnp.float32)
+                _mxu(h.astype(w_ref.dtype), w_ref[:])
                 + b_ref[0].astype(jnp.float32)
             )
             r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
@@ -883,14 +904,12 @@ def _mk_shared_bwd_kernel(n_parts: int, tb: int, T: int, H: int, dims):
         def precompute(x_refs, hp_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
                        gates_ref):
             gi = (
-                jnp.dot(cat(x_refs).astype(wih_ref.dtype), wih_ref[:],
-                        preferred_element_type=jnp.float32)
+                _mxu(cat(x_refs).astype(wih_ref.dtype), wih_ref[:])
                 + bih_ref[0].astype(jnp.float32)
             )
             hp = hp_ref[:].astype(jnp.float32).reshape(tb * B, H)
             gh = (
-                jnp.dot(hp.astype(whh_ref.dtype), whh_ref[:],
-                        preferred_element_type=jnp.float32)
+                _mxu(hp.astype(whh_ref.dtype), whh_ref[:])
                 + bhh_ref[0].astype(jnp.float32)
             )
             r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
@@ -929,8 +948,7 @@ def _mk_shared_bwd_kernel(n_parts: int, tb: int, T: int, H: int, dims):
             dgi_f, dgh_f, keep_f = grads_at(rf, dhf, hpf_ref, dyf_ref, gatesf_ref)
             dgif_ref[rf] = dgi_f
             dhf = (
-                jnp.dot(dgh_f.astype(whhtf.dtype), whhtf[:],
-                        preferred_element_type=jnp.float32)
+                _mxu(dgh_f.astype(whhtf.dtype), whhtf[:])
                 + keep_f
             )
             # bwd-dir grad: time ascending, pads at the END of the walk
@@ -939,8 +957,7 @@ def _mk_shared_bwd_kernel(n_parts: int, tb: int, T: int, H: int, dims):
             dgi_b, dgh_b, keep_b = grads_at(u, dhb, hpb_ref, dyb_ref, gatesb_ref)
             dgib_ref[u] = jnp.where(t0b + u < T, dgi_b, 0.0)
             dhb = (
-                jnp.dot(dgh_b.astype(whhtb.dtype), whhtb[:],
-                        preferred_element_type=jnp.float32)
+                _mxu(dgh_b.astype(whhtb.dtype), whhtb[:])
                 + keep_b
             )
             return dhf, dhb
@@ -956,16 +973,14 @@ def _mk_shared_bwd_kernel(n_parts: int, tb: int, T: int, H: int, dims):
             hp = hp_ref[:].astype(jnp.float32).reshape(tb * B, H)
             r = gates_ref[:].reshape(tb * B, 4 * H)[:, 3 * H:]
             dgh = jnp.concatenate([dgi[:, :2 * H], dgi[:, 2 * H:] * r], axis=1)
-            dx = jnp.dot(dgi.astype(wiht_ref.dtype), wiht_ref[:],
-                         preferred_element_type=jnp.float32)
+            dx = _mxu(dgi.astype(wiht_ref.dtype), wiht_ref[:])
             off = 0
             for dx_ref, d in zip(dx_refs, dims):
                 dx_ref[:] = dx[:, off:off + d].reshape(tb, B, d).astype(dx_ref.dtype)
                 off += d
-            dwih_ref[:] += jnp.dot(x.T.astype(jnp.float32), dgi,
-                                   preferred_element_type=jnp.float32)
+            dwih_ref[:] += _mxu(x.T.astype(jnp.float32), dgi)
             dbih_ref[:] += jnp.sum(dgi, axis=0, keepdims=True)
-            dwhh_ref[:] += jnp.dot(hp.T, dgh, preferred_element_type=jnp.float32)
+            dwhh_ref[:] += _mxu(hp.T, dgh)
             dbhh_ref[:] += jnp.sum(dgh, axis=0, keepdims=True)
 
         epilogue(xr, hpf_ref, gatesf_ref, dgif_ref, wihtf, dxf,
