@@ -85,6 +85,19 @@ def _mxu(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
+def _step_unroll(tb: int) -> int:
+    """Unroll factor for the serial step loops. Mosaic supports 1 or full
+    unroll only; full unroll hands the scheduler every step of both
+    directions at once and measured 14-31% faster per layer (B=128, v5e).
+    Guarded to small blocks so the 64-step inference block doesn't bloat;
+    TPU_SLU_GRU_UNROLL=1 opts out."""
+    import os
+
+    if os.environ.get("TPU_SLU_GRU_UNROLL") == "1":
+        return 1
+    return tb if tb <= 16 else 1
+
+
 # ---------------------------------------------------------------------------
 # Fused unidirectional kernels (same design as the joint kernels below,
 # minus the second direction; used for non-bidirectional layers)
@@ -110,14 +123,14 @@ def _fused1_fwd_kernel(x_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
             _mxu(h.astype(whh_ref.dtype), whh_ref[:])
             + bhh_ref[0].astype(jnp.float32)
         )
-        r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
-        z = jax.nn.sigmoid(gi[:, H : 2 * H] + gh[:, H : 2 * H])
+        rz = jax.nn.sigmoid(gi[:, : 2 * H] + gh[:, : 2 * H])
+        r, z = rz[:, :H], rz[:, H:]
         n = jnp.tanh(gi[:, 2 * H :] + r * gh[:, 2 * H :])
-        h_new = (1.0 - z) * n + z * h
+        h_new = n + z * (h - n)
         out_ref[u] = h_new.astype(out_ref.dtype)
         return h_new
 
-    h_ref[:] = jax.lax.fori_loop(0, TB, step, h_ref[:])
+    h_ref[:] = jax.lax.fori_loop(0, TB, step, h_ref[:], unroll=_step_unroll(TB))
 
 
 def _fused1_fwd_call(x, wih, bih, whh, bhh, tb: int):
@@ -163,8 +176,8 @@ def _fused1_bwd_kernel(x_ref, hp_ref, dy_ref,
         _mxu(hp.astype(whh_ref.dtype), whh_ref[:])
         + bhh_ref[0].astype(jnp.float32)
     )
-    r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
-    z = jax.nn.sigmoid(gi[:, H : 2 * H] + gh[:, H : 2 * H])
+    rz = jax.nn.sigmoid(gi[:, : 2 * H] + gh[:, : 2 * H])
+    r, z = rz[:, :H], rz[:, H:]
     gh_n = gh[:, 2 * H :]
     n = jnp.tanh(gi[:, 2 * H :] + r * gh_n)
     gates_ref[:] = jnp.concatenate(
@@ -189,7 +202,7 @@ def _fused1_bwd_kernel(x_ref, hp_ref, dy_ref,
             + dh * z
         )
 
-    dh_ref[:] = jax.lax.fori_loop(0, TB, step, dh_ref[:])
+    dh_ref[:] = jax.lax.fori_loop(0, TB, step, dh_ref[:], unroll=_step_unroll(TB))
 
     dgi = dgi_ref[:].reshape(TB * B, 3 * H)
     x = x_ref[:].reshape(TB * B, D)
@@ -303,10 +316,10 @@ def _fused_fwd_kernel(xf_ref, xb_ref,
             _mxu(h.astype(w_ref.dtype), w_ref[:])
             + b_ref[0].astype(jnp.float32)
         )
-        r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
-        z = jax.nn.sigmoid(gi[:, H : 2 * H] + gh[:, H : 2 * H])
+        rz = jax.nn.sigmoid(gi[:, : 2 * H] + gh[:, : 2 * H])
+        r, z = rz[:, :H], rz[:, H:]
         n = jnp.tanh(gi[:, 2 * H :] + r * gh[:, 2 * H :])
-        return (1.0 - z) * n + z * h
+        return n + z * (h - n)
 
     def step(u, carry):
         hf, hb = carry
@@ -316,7 +329,7 @@ def _fused_fwd_kernel(xf_ref, xb_ref,
         outb_ref[u] = hb.astype(outb_ref.dtype)
         return hf, hb
 
-    hf, hb = jax.lax.fori_loop(0, TB, step, (hf_ref[:], hb_ref[:]))
+    hf, hb = jax.lax.fori_loop(0, TB, step, (hf_ref[:], hb_ref[:]), unroll=_step_unroll(TB))
     hf_ref[:] = hf
     hb_ref[:] = hb
 
@@ -395,8 +408,8 @@ def _fused_bwd_kernel(xf_ref, xb_ref, hpf_ref, hpb_ref, dyf_ref, dyb_ref,
             _mxu(hp.astype(whh_ref.dtype), whh_ref[:])
             + bhh_ref[0].astype(jnp.float32)
         )
-        r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
-        z = jax.nn.sigmoid(gi[:, H : 2 * H] + gh[:, H : 2 * H])
+        rz = jax.nn.sigmoid(gi[:, : 2 * H] + gh[:, : 2 * H])
+        r, z = rz[:, :H], rz[:, H:]
         gh_n = gh[:, 2 * H :]
         n = jnp.tanh(gi[:, 2 * H :] + r * gh_n)
         # slot 0 pre-folds dr_pre = dn_pre * (gh_n * r * (1 - r))
@@ -432,7 +445,7 @@ def _fused_bwd_kernel(xf_ref, xb_ref, hpf_ref, hpb_ref, dyf_ref, dyb_ref,
         dhb = one(u, dhb, hpb_ref, dyb_ref, gatesb_ref, whhtb_ref, dgib_ref)
         return dhf, dhb
 
-    dhf, dhb = jax.lax.fori_loop(0, TB, step, (dhf_ref[:], dhb_ref[:]))
+    dhf, dhb = jax.lax.fori_loop(0, TB, step, (dhf_ref[:], dhb_ref[:]), unroll=_step_unroll(TB))
     dhf_ref[:] = dhf
     dhb_ref[:] = dhb
 
@@ -758,10 +771,10 @@ def _mk_shared_fwd_kernel(n_parts: int, tb: int, T: int, pool: int, method: str,
                 _mxu(h.astype(w_ref.dtype), w_ref[:])
                 + b_ref[0].astype(jnp.float32)
             )
-            r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
-            z = jax.nn.sigmoid(gi[:, H:2 * H] + gh[:, H:2 * H])
+            rz = jax.nn.sigmoid(gi[:, :2 * H] + gh[:, :2 * H])
+            r, z = rz[:, :H], rz[:, H:]
             n = jnp.tanh(gi[:, 2 * H:] + r * gh[:, 2 * H:])
-            return (1.0 - z) * n + z * h
+            return n + z * (h - n)
 
         t0_rev = (nb - 1 - i) * tb  # global t of row 0 of the bwd-dir block
         if pool == 1:
@@ -781,7 +794,9 @@ def _mk_shared_fwd_kernel(n_parts: int, tb: int, T: int, pool: int, method: str,
             bb_ref[rb] = hb.astype(bb_ref.dtype)
             return hf, hb
 
-        hf, hb = jax.lax.fori_loop(0, tb, step, (hf_ref[:], hb_ref[:]))
+        hf, hb = jax.lax.fori_loop(
+            0, tb, step, (hf_ref[:], hb_ref[:]), unroll=_step_unroll(tb)
+        )
         hf_ref[:] = hf
         hb_ref[:] = hb
 
@@ -912,8 +927,8 @@ def _mk_shared_bwd_kernel(n_parts: int, tb: int, T: int, H: int, dims):
                 _mxu(hp.astype(whh_ref.dtype), whh_ref[:])
                 + bhh_ref[0].astype(jnp.float32)
             )
-            r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
-            z = jax.nn.sigmoid(gi[:, H:2 * H] + gh[:, H:2 * H])
+            rz = jax.nn.sigmoid(gi[:, :2 * H] + gh[:, :2 * H])
+            r, z = rz[:, :H], rz[:, H:]
             gh_n = gh[:, 2 * H:]
             n = jnp.tanh(gi[:, 2 * H:] + r * gh_n)
             gates_ref[:] = jnp.concatenate(
@@ -962,7 +977,7 @@ def _mk_shared_bwd_kernel(n_parts: int, tb: int, T: int, H: int, dims):
             )
             return dhf, dhb
 
-        dhf, dhb = jax.lax.fori_loop(0, tb, step, (dhf_ref[:], dhb_ref[:]))
+        dhf, dhb = jax.lax.fori_loop(0, tb, step, (dhf_ref[:], dhb_ref[:]), unroll=_step_unroll(tb))
         dhf_ref[:] = dhf
         dhb_ref[:] = dhb
 
