@@ -25,7 +25,8 @@ def main():
     parser.add_argument("--seconds", type=float, default=4.0)
     parser.add_argument("--rounds", type=int, default=6)
     parser.add_argument("--iters", type=int, default=60)
-    parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    parser.add_argument("--dtypes", default="float32",
+                        help="comma list; every (batch, impl, dtype) combo is a variant")
     args = parser.parse_args()
 
     import jax
@@ -45,26 +46,29 @@ def main():
     model = Model(config)
     earch = model.encoder_arch
     params = model.params["pretrained_model"]
-    compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
 
     T = int(args.seconds * 16000)
     variants = []
     for b in (int(x) for x in args.batches.split(",")):
         x = jnp.asarray(np.random.default_rng(0).standard_normal((b, T), np.float32))
         for impl in args.impls.split(","):
-            fwd = jax.jit(
-                lambda p, x, impl=impl: enc.encoder_features(
-                    p, earch, x, gru_impl=impl, compute_dtype=compute_dtype
+            for dt in args.dtypes.split(","):
+                cd = jnp.bfloat16 if dt == "bfloat16" else None
+                fwd = jax.jit(
+                    lambda p, x, impl=impl, cd=cd: jnp.sum(
+                        enc.encoder_features(
+                            p, earch, x, gru_impl=impl, compute_dtype=cd
+                        ).astype(jnp.float32)
+                    )
                 )
-            )
-            t0 = time.time()
-            np.asarray(fwd(params, x))
-            print(f"compiled B={b} {impl}: {time.time() - t0:.1f}s", flush=True)
-            variants.append((b, impl, fwd, x))
+                t0 = time.time()
+                np.asarray(fwd(params, x))
+                print(f"compiled B={b} {impl} {dt}: {time.time() - t0:.1f}s", flush=True)
+                variants.append((f"{b}/{impl}/{dt}", b, fwd, x))
 
-    results = {(b, impl): [] for b, impl, _, _ in variants}
+    results = {name: [] for name, _, _, _ in variants}
     for r in range(args.rounds):
-        for b, impl, fwd, x in variants:
+        for name, b, fwd, x in variants:
             def run(k):
                 t0 = time.time()
                 for _ in range(k):
@@ -76,16 +80,17 @@ def main():
             t1 = min(run(1) for _ in range(3))
             tk = min(run(args.iters + 1) for _ in range(2))
             if tk - t1 > 0.2 * tk:
-                results[(b, impl)].append((tk - t1) / args.iters)
+                results[name].append((tk - t1) / args.iters)
         print(f"round {r + 1}/{args.rounds} done", flush=True)
 
-    print(f"\n{'batch':>6} {'impl':>16} {'best ms':>9} {'median ms':>10} {'utt/s':>9}")
-    for (b, impl), es in results.items():
+    print(f"\n{'variant':>28} {'best ms':>9} {'median ms':>10} {'utt/s':>9}")
+    for (name, b, _, _) in variants:
+        es = results[name]
         if not es:
-            print(f"{b:>6} {impl:>16} {'degenerate':>9}")
+            print(f"{name:>28} {'degenerate':>9}")
             continue
         best, med = min(es), float(np.median(es))
-        print(f"{b:>6} {impl:>16} {best * 1e3:>9.3f} {med * 1e3:>10.3f} {b / best:>9.0f}")
+        print(f"{name:>28} {best * 1e3:>9.3f} {med * 1e3:>10.3f} {b / best:>9.0f}")
 
 
 if __name__ == "__main__":
