@@ -85,6 +85,17 @@ def _mxu(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
+def _sigmoid(x):
+    """sigmoid via the tanh identity: 0.5 + 0.5*tanh(x/2).
+
+    Mathematically identical to jax.nn.sigmoid; on the v5e VPU the single
+    tanh measures ~10% faster per GRU layer than the exp-based logistic
+    lowering (same-process A/B, both step-loop and batched-prologue sites).
+    The backward kernels RECOMPUTE the forward's gates, so every kernel
+    must use the same formula."""
+    return 0.5 + 0.5 * jnp.tanh(0.5 * x)
+
+
 def _step_unroll(tb: int) -> int:
     """Unroll factor for the serial step loops. Mosaic supports 1 or full
     unroll only; full unroll hands the scheduler every step of both
@@ -123,7 +134,7 @@ def _fused1_fwd_kernel(x_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
             _mxu(h.astype(whh_ref.dtype), whh_ref[:])
             + bhh_ref[0].astype(jnp.float32)
         )
-        rz = jax.nn.sigmoid(gi[:, : 2 * H] + gh[:, : 2 * H])
+        rz = _sigmoid(gi[:, : 2 * H] + gh[:, : 2 * H])
         r, z = rz[:, :H], rz[:, H:]
         n = jnp.tanh(gi[:, 2 * H :] + r * gh[:, 2 * H :])
         h_new = n + z * (h - n)
@@ -176,7 +187,7 @@ def _fused1_bwd_kernel(x_ref, hp_ref, dy_ref,
         _mxu(hp.astype(whh_ref.dtype), whh_ref[:])
         + bhh_ref[0].astype(jnp.float32)
     )
-    rz = jax.nn.sigmoid(gi[:, : 2 * H] + gh[:, : 2 * H])
+    rz = _sigmoid(gi[:, : 2 * H] + gh[:, : 2 * H])
     r, z = rz[:, :H], rz[:, H:]
     gh_n = gh[:, 2 * H :]
     n = jnp.tanh(gi[:, 2 * H :] + r * gh_n)
@@ -316,7 +327,7 @@ def _fused_fwd_kernel(xf_ref, xb_ref,
             _mxu(h.astype(w_ref.dtype), w_ref[:])
             + b_ref[0].astype(jnp.float32)
         )
-        rz = jax.nn.sigmoid(gi[:, : 2 * H] + gh[:, : 2 * H])
+        rz = _sigmoid(gi[:, : 2 * H] + gh[:, : 2 * H])
         r, z = rz[:, :H], rz[:, H:]
         n = jnp.tanh(gi[:, 2 * H :] + r * gh[:, 2 * H :])
         return n + z * (h - n)
@@ -408,7 +419,7 @@ def _fused_bwd_kernel(xf_ref, xb_ref, hpf_ref, hpb_ref, dyf_ref, dyb_ref,
             _mxu(hp.astype(whh_ref.dtype), whh_ref[:])
             + bhh_ref[0].astype(jnp.float32)
         )
-        rz = jax.nn.sigmoid(gi[:, : 2 * H] + gh[:, : 2 * H])
+        rz = _sigmoid(gi[:, : 2 * H] + gh[:, : 2 * H])
         r, z = rz[:, :H], rz[:, H:]
         gh_n = gh[:, 2 * H :]
         n = jnp.tanh(gi[:, 2 * H :] + r * gh_n)
@@ -771,7 +782,7 @@ def _mk_shared_fwd_kernel(n_parts: int, tb: int, T: int, pool: int, method: str,
                 _mxu(h.astype(w_ref.dtype), w_ref[:])
                 + b_ref[0].astype(jnp.float32)
             )
-            rz = jax.nn.sigmoid(gi[:, :2 * H] + gh[:, :2 * H])
+            rz = _sigmoid(gi[:, :2 * H] + gh[:, :2 * H])
             r, z = rz[:, :H], rz[:, H:]
             n = jnp.tanh(gi[:, 2 * H:] + r * gh[:, 2 * H:])
             return n + z * (h - n)
@@ -927,7 +938,7 @@ def _mk_shared_bwd_kernel(n_parts: int, tb: int, T: int, H: int, dims):
                 _mxu(hp.astype(whh_ref.dtype), whh_ref[:])
                 + bhh_ref[0].astype(jnp.float32)
             )
-            rz = jax.nn.sigmoid(gi[:, :2 * H] + gh[:, :2 * H])
+            rz = _sigmoid(gi[:, :2 * H] + gh[:, :2 * H])
             r, z = rz[:, :H], rz[:, H:]
             gh_n = gh[:, 2 * H:]
             n = jnp.tanh(gi[:, 2 * H:] + r * gh_n)
