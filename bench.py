@@ -281,7 +281,10 @@ def main():
         np.asarray(out[0])
         return time.time() - t0
 
-    dd, fb = robust_slope(drun, 40, outer=3)
+    # 120 queued iterations: the B=1 decode does so little device work that
+    # shorter queues leave the slope at the mercy of sync jitter (observed
+    # 0.18-0.75 ms across runs of identical code).
+    dd, fb = robust_slope(drun, 120, outer=4)
     if fb:
         fallback_metrics.append("decode")
     decode_device_ms = float(dd * 1000)
