@@ -103,6 +103,12 @@ class Trainer:
         self.mesh = None
         mp = max(1, getattr(config, "model_parallel", 1))
         n_dev = len(jax.devices())
+        # Optional cap (config n_devices): mesh over a prefix of the visible
+        # devices — used by dryrun_multichip(n) when the host exposes more
+        # virtual devices than the requested mesh size.
+        cap = int(getattr(config, "n_devices", 0) or 0)
+        if cap:
+            n_dev = min(n_dev, cap)
         if n_dev > 1 and getattr(config, "data_parallel", True):
             if mp > 1 and n_dev % mp != 0:
                 print(f"model_parallel={mp} disabled: {n_dev} devices not divisible")
