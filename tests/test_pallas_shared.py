@@ -266,3 +266,74 @@ def test_pooled_eval_path_is_differentiable(rng):
     for a, b in zip(jax.tree.leaves(ref_gp), jax.tree.leaves(got_gp)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fused_frontend_encoder_integration(rng, monkeypatch, tmp_path):
+    """TPU_SLU_FUSED_FRONTEND=1 routes the eval conv stack through the fused
+    sinc kernel + channels-last convs; features must still match scan.
+    (Opt-in path: measured slower than the XLA composition on the flagship
+    shape — kept as a documented experiment, docs/KERNELS.md.)"""
+    monkeypatch.setenv("TPU_SLU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("TPU_SLU_FUSED_FRONTEND", "1")
+    from tests import fixtures
+    from tpu_slu import read_config
+    from tpu_slu.models import encoder as enc
+
+    path = fixtures.write_cfg(str(tmp_path / "c.cfg"), folder=str(tmp_path / "exp"))
+    config = read_config(path)
+    config.num_phonemes = 5
+    arch = enc.EncoderArch.from_config(config)
+    params = enc.init_encoder_params(jax.random.PRNGKey(5), arch)
+    x = jnp.asarray(rng.standard_normal((2, 4000), dtype=np.float32))
+    ref = enc.encoder_features(params, arch, x, gru_impl="scan")
+    got = enc.encoder_features(params, arch, x, gru_impl="pallas")
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+class TestFusedFrontend:
+    """sinc + |.| + ceil max-pool + act in one kernel vs the XLA ops."""
+
+    def _params(self):
+        from tpu_slu.ops.sinc import mel_init
+
+        b1, band = mel_init(16, 16000)
+        return jnp.asarray(b1), jnp.asarray(band)
+
+    @pytest.mark.parametrize("T", [1600, 1555])  # 1555: ragged final window
+    def test_matches_xla_ops(self, rng, T):
+        from tpu_slu.ops.pallas_frontend import _xla_reference, sinc_frontend_fused
+
+        b1, band = self._params()
+        x = jnp.asarray(rng.standard_normal((3, T), dtype=np.float32))
+        kw = dict(filt_dim=31, fs=16000, stride=10, padding=15, pool=2)
+        ref = _xla_reference(b1, band, x, kw["filt_dim"], kw["fs"], kw["stride"],
+                             kw["padding"], kw["pool"], "leaky_relu")
+        got = sinc_frontend_fused(b1, band, x, act="leaky_relu", **kw)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_grads_recompute_through_xla(self, rng):
+        from tpu_slu.ops.pallas_frontend import _xla_reference, sinc_frontend_fused
+
+        b1, band = self._params()
+        x = jnp.asarray(rng.standard_normal((2, 1600), dtype=np.float32))
+        kw = dict(filt_dim=31, fs=16000, stride=10, padding=15, pool=2)
+        wout_shape = sinc_frontend_fused(b1, band, x, **kw).shape
+        wout = jnp.asarray(rng.standard_normal(wout_shape, dtype=np.float32))
+
+        def ref_loss(b1, band, x):
+            return jnp.sum(_xla_reference(
+                b1, band, x, kw["filt_dim"], kw["fs"], kw["stride"],
+                kw["padding"], kw["pool"], "leaky_relu") * wout)
+
+        def got_loss(b1, band, x):
+            return jnp.sum(sinc_frontend_fused(b1, band, x, **kw) * wout)
+
+        ref_g = jax.grad(ref_loss, argnums=(0, 1, 2))(b1, band, x)
+        got_g = jax.grad(got_loss, argnums=(0, 1, 2))(b1, band, x)
+        for a, b in zip(ref_g, got_g):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-5)

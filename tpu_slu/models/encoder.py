@@ -19,6 +19,7 @@ params.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any
 
 import jax
@@ -311,6 +312,7 @@ def _apply_stack(group_params, specs, out, *, train: bool, rng, gru_impl: str,
         out = None
     specs = list(specs)
     idx = 0
+    nhc = False  # conv stack running channels-last (fused front-end path)
     while idx < len(specs):
         spec = specs[idx]
         use_chain = (
@@ -322,6 +324,35 @@ def _apply_stack(group_params, specs, out, *, train: bool, rng, gru_impl: str,
             out = _parts_to_btc(parts)
             parts = None
         idx += 1
+        if (
+            chain and not train and spec.kind == "sinc"
+            and os.environ.get("TPU_SLU_FUSED_FRONTEND") == "1"
+            and spec.h[3] > 1 and spec.h[1] > spec.h[3]
+            and [s.kind for s in specs[idx:idx + 4]]
+            == ["abs", "pool", "act", "dropout"]
+        ):
+            # fused sinc front end (ops/pallas_frontend.py): conv + |.| +
+            # ceil max-pool + act in one kernel, POOLED channels-last
+            # output — the full-rate (B, F, t_out) tensor never hits HBM.
+            # dropout is an eval no-op here (this path is eval-only).
+            # OPT-IN ONLY: measured 2.3x SLOWER than the XLA composition on
+            # the flagship shape (0.307 vs 0.134 ms best, B=128 — the
+            # K=stride=80 contraction caps MXU utilization at ~39% and the
+            # halo double-stream doubles input reads; docs/KERNELS.md).
+            from tpu_slu.ops.pallas_frontend import sinc_frontend_fused
+
+            p = group_params[str(spec.index)]
+            _, filt_dim, fs, strd, pad = spec.h
+            pool_k = specs[idx + 1].h[0]
+            act_name = specs[idx + 2].h[0]
+            idx += 4
+            out = sinc_frontend_fused(
+                p["filt_b1"], p["filt_band"], out[:, 0, :],
+                filt_dim=filt_dim, fs=fs, stride=strd, padding=pad,
+                pool=pool_k, act=act_name,
+            )
+            nhc = True
+            continue
         if use_chain:
             from tpu_slu.ops.pallas_gru import bigru_apply_shared
 
@@ -371,7 +402,10 @@ def _apply_stack(group_params, specs, out, *, train: bool, rng, gru_impl: str,
         elif spec.kind == "conv":
             p = group_params[str(spec.index)]
             _, _, k, stride, pad = spec.h
-            out = ops.conv1d(out, p["w"], p["b"], stride=stride, padding=pad)
+            if nhc:
+                out = ops.conv1d_nhc(out, p["w"], p["b"], stride=stride, padding=pad)
+            else:
+                out = ops.conv1d(out, p["w"], p["b"], stride=stride, padding=pad)
             if masked:
                 n = (n + 2 * pad - k) // stride + 1
                 out = _zero_time_tail(out, n, 2)
@@ -381,6 +415,8 @@ def _apply_stack(group_params, specs, out, *, train: bool, rng, gru_impl: str,
             if masked and spec.h[0] > 1:
                 out = ops.masked_max_pool1d_ceil(out, spec.h[0], n)
                 n = -(-n // spec.h[0])
+            elif nhc:
+                out = ops.max_pool1d_ceil_nhc(out, spec.h[0])
             else:
                 out = ops.max_pool1d_ceil(out, spec.h[0])
         elif spec.kind == "act":
@@ -393,10 +429,16 @@ def _apply_stack(group_params, specs, out, *, train: bool, rng, gru_impl: str,
                 out = jnp.where(keep, out / (1.0 - p_drop), 0.0)
         elif spec.kind == "ncl2nlc":
             if chain:
-                # feed the chain directly: (B, C, T) -> time-major (T, B, C)
-                # in one transpose (finalized back if the next GRU can't chain)
-                parts = PartsTM((jnp.transpose(out, (2, 0, 1)),))
+                # feed the chain directly in one transpose to time-major
+                # (T, B, C) — from (B, T, C) when the fused front end ran
+                # channels-last, from (B, C, T) otherwise (finalized back
+                # if the next GRU can't chain)
+                perm = (1, 0, 2) if nhc else (2, 0, 1)
+                parts = PartsTM((jnp.transpose(out, perm),))
                 out = None
+                nhc = False
+            elif nhc:
+                nhc = False  # already (B, T, C)
             else:
                 out = jnp.swapaxes(out, 1, 2)  # (B, C, T) -> (B, T, C)
         elif spec.kind == "gru":

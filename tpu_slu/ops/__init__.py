@@ -7,7 +7,9 @@ and the cuDNN GRU/conv kernels it inherits from PyTorch.
 from tpu_slu.ops.sinc import sinc_filters, sinc_conv
 from tpu_slu.ops.conv import (
     conv1d,
+    conv1d_nhc,
     max_pool1d_ceil,
+    max_pool1d_ceil_nhc,
     avg_pool1d_ceil,
     masked_max_pool1d_ceil,
     masked_avg_pool1d_ceil,
@@ -28,7 +30,9 @@ __all__ = [
     "sinc_filters",
     "sinc_conv",
     "conv1d",
+    "conv1d_nhc",
     "max_pool1d_ceil",
+    "max_pool1d_ceil_nhc",
     "avg_pool1d_ceil",
     "masked_max_pool1d_ceil",
     "masked_avg_pool1d_ceil",

@@ -79,6 +79,41 @@ def _conv1d_framed(x, kernel, bias, stride: int, padding: int):
     return out
 
 
+def conv1d_nhc(x, kernel, bias=None, stride: int = 1, padding: int = 0):
+    """Conv1d on channels-LAST input: x (B, T, Cin), kernel (Cout, Cin, K).
+
+    Same math as :func:`conv1d`; used by the fused-front-end eval path
+    (ops/pallas_frontend.py) so the conv stack never transposes layouts.
+    """
+    w_hio = jnp.transpose(kernel, (2, 1, 0))  # (K, Cin, Cout)
+    out = lax.conv_general_dilated(
+        x,
+        w_hio,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias[None, None, :]
+    return out
+
+
+def max_pool1d_ceil_nhc(x, k: int):
+    """torch ceil-mode max pool over axis 1 of a channels-last (B, T, C)."""
+    if k == 1:
+        return x
+    pad = _ceil_pool_padding(x.shape[1], k)
+    return lax.reduce_window(
+        x,
+        -jnp.inf,
+        lax.max,
+        window_dimensions=(1, k, 1),
+        window_strides=(1, k, 1),
+        padding=((0, 0), (0, pad), (0, 0)),
+    )
+
+
 def _ceil_pool_padding(t: int, k: int) -> int:
     """End-padding so a stride-k window pool emits ceil(t/k) frames."""
     out_len = -(-t // k)  # ceil
