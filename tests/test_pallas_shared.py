@@ -268,6 +268,28 @@ def test_pooled_eval_path_is_differentiable(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("pool", [1, 2])
+@pytest.mark.parametrize("T", [TIME_BLOCK * 2, TIME_BLOCK * 2 + 3])
+def test_rowstack_forward_matches_scan(rng, monkeypatch, T, pool):
+    """TPU_SLU_GRU_ROWSTACK=1 swaps in the row-stacked forward kernel (both
+    directions' gates in one (2B, 3H) array, bhh's r|z columns folded into
+    bih). Measured a perf wash on TPU (kept as a documented experiment,
+    docs/KERNELS.md) — but it must stay numerically pinned to scan."""
+    monkeypatch.setenv("TPU_SLU_GRU_ROWSTACK", "1")
+    B, D, H = 4, 10, 8
+    x = jnp.asarray(rng.standard_normal((B, T, D), dtype=np.float32))
+    params = ops.gru_init(jax.random.PRNGKey(7), D, H, bidirectional=True)
+    ref = scan_ref(params, x)
+    if pool > 1:
+        ref = ops.downsample(ref, "avg", pool, time_axis=1)
+    h_f, h_b, _ = bigru_apply_shared(
+        params, (jnp.swapaxes(x, 0, 1),), pool=pool, pool_method="avg"
+    )
+    np.testing.assert_allclose(
+        np.asarray(shared_to_btc(h_f, h_b)), np.asarray(ref), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_fused_frontend_encoder_integration(rng, monkeypatch, tmp_path):
     """TPU_SLU_FUSED_FRONTEND=1 routes the eval conv stack through the fused
     sinc kernel + channels-last convs; features must still match scan.

@@ -27,6 +27,11 @@ def main():
     parser.add_argument("--iters", type=int, default=60)
     parser.add_argument("--dtypes", default="float32",
                         help="comma list; every (batch, impl, dtype) combo is a variant")
+    parser.add_argument("--envs", default="",
+                        help="comma list of NAME=VAL trace-time env settings, "
+                             "one more variant axis (e.g. TPU_SLU_GRU_SPLIT=0,"
+                             "TPU_SLU_GRU_SPLIT=1); kernels read these while "
+                             "tracing, so each setting compiles its own variant")
     args = parser.parse_args()
 
     import jax
@@ -53,18 +58,23 @@ def main():
         x = jnp.asarray(np.random.default_rng(0).standard_normal((b, T), np.float32))
         for impl in args.impls.split(","):
             for dt in args.dtypes.split(","):
-                cd = jnp.bfloat16 if dt == "bfloat16" else None
-                fwd = jax.jit(
-                    lambda p, x, impl=impl, cd=cd: jnp.sum(
-                        enc.encoder_features(
-                            p, earch, x, gru_impl=impl, compute_dtype=cd
-                        ).astype(jnp.float32)
+                for env in args.envs.split(",") if args.envs else [""]:
+                    if env:
+                        name, _, val = env.partition("=")
+                        os.environ[name] = val
+                    cd = jnp.bfloat16 if dt == "bfloat16" else None
+                    fwd = jax.jit(
+                        lambda p, x, impl=impl, cd=cd: jnp.sum(
+                            enc.encoder_features(
+                                p, earch, x, gru_impl=impl, compute_dtype=cd
+                            ).astype(jnp.float32)
+                        )
                     )
-                )
-                t0 = time.time()
-                np.asarray(fwd(params, x))
-                print(f"compiled B={b} {impl} {dt}: {time.time() - t0:.1f}s", flush=True)
-                variants.append((f"{b}/{impl}/{dt}", b, fwd, x))
+                    t0 = time.time()
+                    np.asarray(fwd(params, x))
+                    tag = f"{b}/{impl}/{dt}" + (f"/{env}" if env else "")
+                    print(f"compiled {tag}: {time.time() - t0:.1f}s", flush=True)
+                    variants.append((tag, b, fwd, x))
 
     results = {name: [] for name, _, _, _ in variants}
     for r in range(args.rounds):

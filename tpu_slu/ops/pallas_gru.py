@@ -841,6 +841,141 @@ def _mk_shared_fwd_kernel(n_parts: int, tb: int, T: int, pool: int, method: str,
     return kernel
 
 
+def _rowstack() -> bool:
+    """Row-stacked gate chain (opt-in experiment, TPU_SLU_GRU_ROWSTACK=1):
+    both directions' gates live in one (2B, 3H) array — rows 0:B forward,
+    B:2B backward — so the per-step elementwise chain runs ONCE over both
+    directions (~13 vector ops/step instead of ~26), with the per-direction
+    recurrent matmuls kept separate (no block-diagonal flop doubling).
+
+    Measured a WASH on the whole encoder forward (two 8-round same-process
+    A/Bs at B=128: 0.462 vs 0.477 then 0.524 vs 0.506 best ms — sign flips
+    between runs, medians equal). The op-count saving is cancelled by lost
+    ILP: the split kernels' two independent per-direction chains already
+    saturate the VPU pipeline, so halving the op count while serializing
+    into one chain buys nothing. The stages are recurrence-LATENCY-bound
+    (docs/KERNELS.md), which neither fewer-wider ops nor more chains move."""
+    import os
+
+    return os.environ.get("TPU_SLU_GRU_ROWSTACK") == "1"
+
+
+def _mk_shared_fwd_kernel_rs(n_parts: int, tb: int, T: int, pool: int,
+                             method: str, H: int):
+    """Row-stacked variant of the shared-stream forward kernel (_rowstack).
+
+    Same streams/grid/outputs as _mk_shared_fwd_kernel; differences:
+    - gi scratch is ONE (tb, 2B, 3H) block: forward rows 0:B in natural
+      block-row order, backward rows B:2B pre-reversed at projection time so
+      step u reads row u for BOTH directions.
+    - bhh's r|z columns are folded into bih at trace time (the rz gate is
+      sigmoid(gi + gh) with both biases additive); only bhh's n column
+      (multiplied by r) survives as a per-step (2B, H) add.
+    - The hidden carry is one (2B, H) array; the pad-hold select masks the
+      backward half by row index.
+    """
+
+    def kernel(*refs):
+        xn = refs[:n_parts]
+        xr = refs[n_parts:2 * n_parts]
+        (wihf, bihf, whhf, bnf,
+         wihb, bihb, whhb, bnb) = refs[2 * n_parts:2 * n_parts + 8]
+        outf_ref, outb_ref = refs[2 * n_parts + 8:2 * n_parts + 10]
+        scratch = refs[2 * n_parts + 10:]
+        h2_ref, gi2_ref = scratch[:2]
+        i = pl.program_id(0)
+        nb = pl.num_programs(0)
+        B = h2_ref.shape[0] // 2
+
+        @pl.when(i == 0)
+        def _():
+            h2_ref[:] = jnp.zeros_like(h2_ref)
+
+        def cat(x_refs):
+            xs = [r[:].reshape(tb * B, r.shape[-1]) for r in x_refs]
+            return xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=1)
+
+        # block-level projections: natural rows for fwd, row-reversed for bwd
+        gi2_ref[:, :B, :] = (
+            _mxu(cat(xn).astype(wihf.dtype), wihf[:])
+            + bihf[0].astype(jnp.float32)
+        ).reshape(tb, B, 3 * H)
+        # row-reversed block write (static unroll: Mosaic has no rev lowering)
+        gib = (
+            _mxu(cat(xr).astype(wihb.dtype), wihb[:])
+            + bihb[0].astype(jnp.float32)
+        ).reshape(tb, B, 3 * H)
+        for u in range(tb):
+            gi2_ref[u, B:, :] = gib[tb - 1 - u]
+
+        # hoisted per-row constants for the fused chain
+        bn2 = jnp.concatenate(
+            [
+                jnp.broadcast_to(bnf[0].astype(jnp.float32), (B, H)),
+                jnp.broadcast_to(bnb[0].astype(jnp.float32), (B, H)),
+            ],
+            axis=0,
+        )
+        rows_fwd = jax.lax.broadcasted_iota(jnp.int32, (2 * B, 1), 0) < B
+
+        t0_rev = (nb - 1 - i) * tb
+        if pool == 1:
+            bf_ref, bb_ref = outf_ref, outb_ref
+        else:
+            bf_ref, bb_ref = scratch[2:4]
+
+        def step(u, h2):
+            rb = tb - 1 - u
+            gh2 = jnp.concatenate(
+                [
+                    _mxu(h2[:B].astype(whhf.dtype), whhf[:]),
+                    _mxu(h2[B:].astype(whhb.dtype), whhb[:]),
+                ],
+                axis=0,
+            )
+            gi2 = gi2_ref[u]
+            rz = _sigmoid(gi2[:, : 2 * H] + gh2[:, : 2 * H])
+            r, z = rz[:, :H], rz[:, H:]
+            n = jnp.tanh(gi2[:, 2 * H:] + r * (gh2[:, 2 * H:] + bn2))
+            h2_new = n + z * (h2 - n)
+            # forward rows always advance; backward rows hold through pads
+            h2 = jnp.where(
+                jnp.logical_or(rows_fwd, t0_rev + rb < T), h2_new, h2
+            )
+            bf_ref[u] = h2[:B].astype(bf_ref.dtype)
+            bb_ref[rb] = h2[B:].astype(bb_ref.dtype)
+            return h2
+
+        h2_ref[:] = jax.lax.fori_loop(
+            0, tb, step, h2_ref[:], unroll=_step_unroll(tb)
+        )
+
+        if pool > 1:
+            iota = jax.lax.broadcasted_iota(jnp.int32, (tb, 1, 1), 0)
+            vf = (i * tb + iota) < T
+            vb = (t0_rev + iota) < T
+
+            def pooled(blk_ref, valid, out_ref):
+                h = blk_ref[:]
+                if method == "max":
+                    hm = jnp.where(valid, h, -jnp.inf)
+                    out = hm.reshape(tb // pool, pool, B, H).max(axis=1)
+                else:
+                    hm = jnp.where(valid, h, 0.0)
+                    cnt = valid.astype(jnp.float32).reshape(
+                        tb // pool, pool, 1, 1
+                    ).sum(axis=1)
+                    out = hm.reshape(tb // pool, pool, B, H).sum(axis=1) / (
+                        jnp.maximum(cnt, 1.0)
+                    )
+                out_ref[:] = out.astype(out_ref.dtype)
+
+            pooled(bf_ref, vf, outf_ref)
+            pooled(bb_ref, vb, outb_ref)
+
+    return kernel
+
+
 def _shared_fwd_call(parts, wih_f, bih_f, whh_f, bhh_f,
                      wih_b, bih_b, whh_b, bhh_b, *, tb: int, T: int,
                      pool: int = 1, pool_method: str = "avg"):
@@ -871,6 +1006,31 @@ def _shared_fwd_call(parts, wih_f, bih_f, whh_f, bhh_f,
         (to, B, H), lambda i: (N - 1 - i, 0, 0), memory_space=pltpu.VMEM
     )
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if _rowstack():
+        # fold bhh's r|z columns into bih (additive in the rz gate); bhh's n
+        # column stays a per-step add inside the r* product
+        bih_aug_f = bih_f + jnp.concatenate([bhh_f[: 2 * H], jnp.zeros((H,), bhh_f.dtype)])
+        bih_aug_b = bih_b + jnp.concatenate([bhh_b[: 2 * H], jnp.zeros((H,), bhh_b.dtype)])
+        scratch = [
+            pltpu.VMEM((2 * B, H), jnp.float32),
+            pltpu.VMEM((tb, 2 * B, 3 * H), jnp.float32),
+        ]
+        if pool > 1:
+            scratch += [
+                pltpu.VMEM((tb, B, H), jnp.float32),
+                pltpu.VMEM((tb, B, H), jnp.float32),
+            ]
+        return pl.pallas_call(
+            _mk_shared_fwd_kernel_rs(n_parts, tb, T, pool, pool_method, H),
+            grid=(N,),
+            in_specs=[nat(d) for d in dims] + [rev(d) for d in dims] + [full] * 8,
+            out_specs=[out_f, out_b],
+            out_shape=[jax.ShapeDtypeStruct((Tp // pool, B, H), dt)] * 2,
+            scratch_shapes=scratch,
+            interpret=_interpret(),
+        )(*parts, *parts,
+          wih_f.astype(dt), bih_aug_f[None, :], whh_f.astype(dt), bhh_f[None, 2 * H:],
+          wih_b.astype(dt), bih_aug_b[None, :], whh_b.astype(dt), bhh_b[None, 2 * H:])
     scratch = [
         pltpu.VMEM((B, H), jnp.float32),
         pltpu.VMEM((B, H), jnp.float32),
