@@ -35,6 +35,13 @@ TORCH_CPU_BASELINE_UTT_S = 90.8  # see module docstring
 
 
 V5E_HBM_GBPS = 819.0  # TPU v5e HBM bandwidth
+# Measured chip unit rates (tools/bench_vpu.py, v5e, 2026-08-17): sustained
+# dependent-chain throughputs on THIS chip, not spec-sheet peaks. The MXU
+# number is the v5e bf16 spec peak; the kernels keep matmul operands bf16
+# (f32 accumulation) so it is the relevant ceiling.
+V5E_MXU_BF16_TFLOPS = 197.0
+V5E_VPU_TANH_TELEM_S = 1.6   # tanh/exp transcendental elements per second
+V5E_VPU_ELEM_TOPS = 3.3      # plain elementwise (fma-class) ops per second
 
 
 def min_encoder_hbm_bytes(arch, batch: int, t_samples: int) -> int:
@@ -89,6 +96,55 @@ def min_encoder_hbm_bytes(arch, batch: int, t_samples: int) -> int:
             total += batch * t * hidden * dirs * f32  # outputs written once
             c = hidden * dirs
     return total
+
+
+def encoder_unit_floors_us(arch, batch: int, t_samples: int) -> dict:
+    """Analytic per-unit lower bounds (microseconds) for one encoder forward.
+
+    Complements the HBM byte model with the other two hardware units so the
+    bench can report a *combined* speed-of-light fraction: the forward is
+    VPU/issue-bound, not bandwidth-bound (docs/KERNELS.md), and the HBM-only
+    roofline under-states the true ceiling. Each floor is optimistic
+    (undercounts its unit's work), so max(floors) <= any achievable time:
+
+    - mxu: 2*M*N*K flops of every conv and GRU matmul at the bf16 spec peak.
+    - vpu: the GRU gate chain only — 3H tanh-unit elements per step per
+      direction (fused r|z sigmoid and the n tanh both evaluate via the tanh
+      unit) plus ~12H fma-class elementwise ops (gi+gh adds, sigmoid affine,
+      r*gh, the n+z*(h-n) update, carry select) at the measured chain rates.
+      Conv-side elementwise (abs, pool) is ignored.
+    """
+    flops = 0.0
+    tanh_elems = 0.0
+    elem_ops = 0.0
+    t, c = t_samples, 1
+    for spec in list(arch.phoneme_layers) + list(arch.word_layers):
+        if spec.kind in ("sinc", "conv"):
+            if spec.kind == "sinc":
+                cout, k, _, stride, pad = spec.h
+                cin = c
+            else:
+                cin, cout, k, stride, pad = spec.h
+            t = (t + 2 * pad - k) // stride + 1
+            flops += 2.0 * batch * t * cout * cin * k
+            c = cout
+        elif spec.kind == "pool":
+            t = -(-t // spec.h[0])
+        elif spec.kind == "downsample":
+            if spec.h[1] > 1:
+                t = -(-t // spec.h[1])
+        elif spec.kind == "gru":
+            _, hidden, bidir = spec.h
+            dirs = 2 if bidir else 1
+            flops += 2.0 * batch * t * dirs * (c + hidden) * 3 * hidden
+            tanh_elems += batch * t * dirs * 3 * hidden
+            elem_ops += batch * t * dirs * 12 * hidden
+            c = hidden * dirs
+    hbm_us = min_encoder_hbm_bytes(arch, batch, t_samples) / (V5E_HBM_GBPS * 1e9) * 1e6
+    mxu_us = flops / (V5E_MXU_BF16_TFLOPS * 1e12) * 1e6
+    vpu_us = (tanh_elems / (V5E_VPU_TANH_TELEM_S * 1e12)
+              + elem_ops / (V5E_VPU_ELEM_TOPS * 1e12)) * 1e6
+    return {"hbm": hbm_us, "mxu": mxu_us, "vpu": vpu_us}
 
 
 def robust_slope(run, iters: int, outer: int = 3, budget_s: float = 0.0,
@@ -398,6 +454,14 @@ def main():
     achieved_gbps = hbm_bytes / dt / 1e9
     roofline_frac = achieved_gbps / V5E_HBM_GBPS
 
+    # Combined speed-of-light: the binding unit floor (HBM bytes, MXU flops,
+    # or VPU gate-chain ops — whichever is slowest) over the measured time.
+    # This is the fraction of what the *hardware* allows for this model, and
+    # unlike the HBM-only roofline it stays a meaningful <= 1.0 claim for a
+    # recurrence that is not bandwidth-bound (docs/KERNELS.md ceiling note).
+    floors = encoder_unit_floors_us(earch, B, T)
+    sol_frac = max(floors.values()) / (dt * 1e6)
+
     record = {
         "metric": "fsc_encoder_fwd_utterances_per_sec_per_chip",
         "value": round(utt_per_s, 1),
@@ -406,6 +470,8 @@ def main():
         "baseline": "reference torch-CPU encoder fwd %.1f utt/s" % baseline,
         "hbm_roofline_frac": round(roofline_frac, 3),
         "achieved_gbps": round(achieved_gbps, 1),
+        "sol_frac": round(sol_frac, 3),
+        "unit_floors_us": {k: round(v, 1) for k, v in floors.items()},
         "p50_decode_ms": round(p50_ms, 1),
         "decode_device_ms": round(decode_device_ms, 3),
         "train_step_ms": train_step_ms,

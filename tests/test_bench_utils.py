@@ -8,6 +8,8 @@ timing models; no TPU needed.
 
 import sys
 
+import pytest
+
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from bench import min_encoder_hbm_bytes, robust_slope  # noqa: E402
@@ -143,3 +145,50 @@ def test_byte_model_counts_layer_boundaries_only():
     # input stream starts at the 1-channel waveform (read once), output is
     # the bidirectional hidden stream (written once)
     assert total == b * t * 1 * f32 + b * t * 128 * 2 * f32
+
+def test_unit_floor_model_matches_hand_count():
+    """The speed-of-light unit floors: MXU flops are the conv + GRU matmuls,
+    the VPU floor counts only the gate chain (3H tanh-class + 12H elementwise
+    per step per direction), and HBM mirrors the byte model."""
+    from bench import (V5E_HBM_GBPS, V5E_MXU_BF16_TFLOPS, V5E_VPU_ELEM_TOPS,
+                       V5E_VPU_TANH_TELEM_S, encoder_unit_floors_us)
+
+    class Spec:
+        def __init__(self, kind, h):
+            self.kind, self.h = kind, h
+
+    class Arch:
+        phoneme_layers = (Spec("conv", (1, 8, 5, 2, 0)),)
+        word_layers = (Spec("gru", (8, 16, True)),)
+
+    b, t = 4, 101
+    t_conv = (101 - 5) // 2 + 1  # 49
+    floors = encoder_unit_floors_us(Arch(), b, t)
+    flops = 2 * b * t_conv * 8 * 1 * 5 + 2 * b * t_conv * 2 * (8 + 16) * 3 * 16
+    assert floors["mxu"] == pytest.approx(flops / (V5E_MXU_BF16_TFLOPS * 1e12) * 1e6)
+    tanh = b * t_conv * 2 * 3 * 16
+    elem = b * t_conv * 2 * 12 * 16
+    assert floors["vpu"] == pytest.approx(
+        (tanh / (V5E_VPU_TANH_TELEM_S * 1e12) + elem / (V5E_VPU_ELEM_TOPS * 1e12)) * 1e6
+    )
+    assert floors["hbm"] == pytest.approx(
+        min_encoder_hbm_bytes(Arch(), b, t) / (V5E_HBM_GBPS * 1e9) * 1e6
+    )
+
+
+def test_unit_floors_flagship_magnitudes():
+    """At the flagship bench shape the floors must reproduce the measured
+    decomposition (docs/KERNELS.md): HBM ~316 us is the binding unit, MXU and
+    VPU below it, and all three sit under the ~480 us measured wall."""
+    import __graft_entry__
+    import tempfile
+    from bench import encoder_unit_floors_us
+    from tpu_slu.models.slu import Model
+
+    config = __graft_entry__._make_config(tempfile.mkdtemp(), small=False)
+    arch = Model(config).encoder_arch
+    floors = encoder_unit_floors_us(arch, 128, 64000)
+    assert 250 < floors["hbm"] < 400
+    assert 150 < floors["mxu"] < 350
+    assert 100 < floors["vpu"] < 300
+    assert max(floors.values()) == floors["hbm"]
