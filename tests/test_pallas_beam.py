@@ -1,0 +1,85 @@
+"""Fused Pallas beam-search kernel == the XLA scan beam (interpret mode).
+
+The XLA beam (``ops/beam.py`` + ``models.slu._decoder_step``) is itself
+parity-pinned against the reference's Python beam search
+(tests/test_reference_parity.py), so matching it transitively pins the
+kernel to the reference, including the first-step quirks (zeros previous
+token, beams > 0 masked) and the no-EOS-exit fixed decode length.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_slu.models import slu as slu_mod
+from tpu_slu.models.slu import Seq2SeqArch, init_seq2seq_params
+from tpu_slu.ops.attention import attention_kv
+from tpu_slu.ops.beam import beam_search
+from tpu_slu.ops.pallas_beam import beam_decode_pallas
+
+
+def _setup(seed, Bs, T, W, U, nl=2, L=11, H=8, Kd=4, Vd=8, enc_dim=3):
+    arch = Seq2SeqArch(
+        num_labels=L, num_encoder_layers=1, encoder_dim=enc_dim,
+        num_decoder_layers=nl, decoder_dim=H, key_dim=Kd, value_dim=Vd,
+        sos=0, max_decode_len=U,
+    )
+    dec = init_seq2seq_params(jax.random.PRNGKey(seed), arch, 2 * enc_dim)["decoder"]
+    rng = np.random.default_rng(seed)
+    enc_out = jnp.asarray(rng.standard_normal((Bs, T, 2 * enc_dim), np.float32))
+    keys, values = attention_kv(dec["attention"], enc_out)
+    return arch, dec, keys, values
+
+
+def _xla_beam(dec, arch, keys, values, Bs, W, U, enc_mask=None):
+    state0 = jnp.broadcast_to(
+        dec["initial_state"][None], (Bs,) + dec["initial_state"].shape
+    )
+
+    def step_fn(state, y_prev):
+        return slu_mod._decoder_step(
+            dec, arch, (keys, values), state, y_prev, train=False, enc_mask=enc_mask
+        )
+
+    return beam_search(step_fn, state0, Bs, arch.num_labels, U, W)
+
+
+@pytest.mark.parametrize("seed,Bs,W", [(0, 5, 3), (1, 8, 4), (2, 3, 2)])
+def test_fused_beam_matches_xla_beam(seed, Bs, W):
+    T, U = 6, 10
+    arch, dec, keys, values = _setup(seed, Bs, T, W, U)
+    ref_scores, ref_tokens = _xla_beam(dec, arch, keys, values, Bs, W, U)
+    scores, tokens = beam_decode_pallas(dec, arch, keys, values, W, U)
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(ref_scores), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(ref_tokens))
+
+
+def test_fused_beam_respects_encoder_mask():
+    Bs, T, W, U = 4, 7, 3, 8
+    arch, dec, keys, values = _setup(3, Bs, T, W, U)
+    rng = np.random.default_rng(3)
+    n_frames = rng.integers(2, T + 1, Bs)
+    enc_mask = jnp.asarray(np.arange(T)[None, :] < n_frames[:, None])
+    ref_scores, ref_tokens = _xla_beam(dec, arch, keys, values, Bs, W, U, enc_mask)
+    scores, tokens = beam_decode_pallas(
+        dec, arch, keys, values, W, U, enc_mask=enc_mask
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(ref_scores), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(ref_tokens))
+
+
+def test_fused_beam_single_layer_decoder():
+    Bs, T, W, U = 5, 4, 4, 6
+    arch, dec, keys, values = _setup(4, Bs, T, W, U, nl=1)
+    ref_scores, ref_tokens = _xla_beam(dec, arch, keys, values, Bs, W, U)
+    scores, tokens = beam_decode_pallas(dec, arch, keys, values, W, U)
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(ref_scores), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(ref_tokens))

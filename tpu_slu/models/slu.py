@@ -309,13 +309,29 @@ def seq2seq_log_prob(params, arch: Seq2SeqArch, feats, y_onehot, *, train=False,
 
 def seq2seq_beam_infer(params, arch: Seq2SeqArch, feats, beam_width: int = 4, *, gru_impl="scan",
                        enc_mask=None, n_frames=None):
-    """Beam-search decode. Returns (scores (beam, B), tokens (beam, B, U))."""
+    """Beam-search decode. Returns (scores (beam, B), tokens (beam, B, U)).
+
+    On TPU with lane-aligned decoder dims the whole search runs as ONE fused
+    Pallas kernel (``ops/pallas_beam.py``: weights, beam states, top-k and
+    hypothesis reordering all VMEM-resident) — same search semantics as the
+    XLA scan below, parity-pinned by tests/test_pallas_beam.py. Opt out with
+    ``TPU_SLU_BEAM_FUSED=0``.
+    """
     enc_out = seq2seq_encode(
         params["encoder"], arch, feats, train=False, gru_impl=gru_impl, n_frames=n_frames
     )
     dec = params["decoder"]
     enc_kv = attention_kv(dec["attention"], enc_out)  # hoisted out of the decode loop
     B = feats.shape[0]
+
+    from tpu_slu.ops.pallas_beam import beam_decode_pallas, beam_pallas_enabled
+
+    if beam_pallas_enabled(arch, B, n_enc_frames=enc_out.shape[1]):
+        return beam_decode_pallas(
+            dec, arch, enc_kv[0], enc_kv[1], beam_width, arch.max_decode_len,
+            enc_mask=enc_mask,
+        )
+
     state0 = jnp.broadcast_to(dec["initial_state"][None], (B,) + dec["initial_state"].shape)
 
     def step_fn(state, y_prev):

@@ -1,0 +1,360 @@
+"""Fused Pallas beam-search decoder: the whole search in one TPU kernel.
+
+The reference's seq2seq eval loop (reference ``models.py:558-651``, hot loop
+C in SURVEY.md §3) runs beam search on the *CPU* in Python loops. The XLA
+rewrite (``ops/beam.py``) made it one jitted ``lax.scan`` — but measured on
+a v5e the scan still spends ~14 us per decode step at batch 16: every step
+re-streams ~5 MB of decoder weights out of HBM into the MXU, and the beam
+bookkeeping (one_hot, top_k, hypothesis gathers) costs more than the
+decoder math itself (measured 1.6 ms of the 2.85 ms total; the per-step
+compute is 1.2 ms).
+
+This kernel runs the ENTIRE search — attention, embedding, stacked GRU
+cells, log-softmax, top-k, hypothesis reordering, token history — inside
+one ``pallas_call``:
+
+* All decoder weights, the attention keys/values, the beam states, scores
+  and token history live in VMEM for all ``max_len`` steps; nothing touches
+  HBM between steps. Weights are loaded ONCE instead of once per step.
+* Rows are beam-major: row ``w * B + b`` is hypothesis ``w`` of batch
+  element ``b``, so every matmul is a single (W*B, .) MXU op and per-beam
+  arithmetic is a static sublane slice.
+* ``top_k`` over the W*V extension candidates becomes W rounds of
+  (max, lexicographic-argmin, mask) — pure vector ops. Tie-breaking is by
+  (beam, token) index order, exactly ``lax.top_k``'s first-occurrence rule
+  on the (beam*vocab)-flattened layout used by ``ops/beam.py``.
+* Hypothesis gathers (states, token history) are masked sums over the W
+  source beams — a select per (target, source) pair, no dynamic gathers.
+
+Search semantics are identical to ``ops/beam.py`` including the reference
+quirks: all-zeros previous-token vector at u == 0, beams > 0 masked at the
+first step, fixed ``max_len`` with no EOS early-exit. Parity is pinned by
+tests/test_pallas_beam.py (interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_slu.ops.pallas_gru import _interpret, _sigmoid, gru_pallas_available
+
+NEG = -1e30  # additive mask value; avoids inf-inf NaNs in the softmaxes
+
+
+# The in-kernel attention loops are fully unrolled over encoder frames;
+# past this many frames the step body's code size outgrows the win and
+# compile time explodes — fall back to the XLA scan beam.
+MAX_FUSED_FRAMES = 512
+
+
+def beam_pallas_enabled(arch, batch_size: int, n_enc_frames: int | None = None) -> bool:
+    """Route ``seq2seq_beam_infer`` through the fused kernel?
+
+    On by default on TPU; ``TPU_SLU_BEAM_FUSED=0`` opts out. Arbitrary
+    projection widths are supported (non-lane-aligned dims — e.g. the
+    reference's ``all_real_seq2seq.cfg`` key_dim=100 / value_dim=200 — are
+    zero-padded to 128 multiples host-side, which is numerically exact:
+    see :func:`beam_decode_pallas`). Only an unbounded encoder length falls
+    back to the XLA scan (the in-kernel attention loop is unrolled).
+    """
+    if os.environ.get("TPU_SLU_BEAM_FUSED", "1") == "0":
+        return False
+    if not gru_pallas_available():
+        return False
+    if n_enc_frames is not None and n_enc_frames > MAX_FUSED_FRAMES:
+        return False
+    return True
+
+
+def _ceil_to(x: int, q: int) -> int:
+    return -(-x // q) * q
+
+
+def _mk_beam_kernel(W: int, BsP: int, nl: int, T: int, U: int,
+                    H: int, kd_true: int, Lp: int, Up: int):
+    """Build the kernel for static (beam, batch, layers, frames, steps).
+
+    ``kd_true`` is the UNPADDED key dim: the attention temperature must be
+    1/sqrt(key_dim) of the real projection width, not of the lane-padded
+    one (padded key lanes contribute 0 to the dot, not to the scale).
+    """
+    R = W * BsP
+    rsqrt_kd = 1.0 / math.sqrt(kd_true)
+
+    def kernel(k_ref, v_ref, tmask_ref, init_ref, wq_ref, bq_ref,
+               we_ref, be_ref, *rest):
+        cell_refs = rest[: 4 * nl]
+        (wl_ref, bl_ref, lmask_ref, scores_out, tokens_out,
+         h_scr, score_scr, tok_scr, yprev_scr) = rest[4 * nl:]
+
+        lane_L = lax.broadcasted_iota(jnp.int32, (R, Lp), 1).astype(jnp.float32)
+        lane_U = lax.broadcasted_iota(jnp.int32, (R, Up), 1).astype(jnp.float32)
+        # Block-shaped lane iota, materialized directly: sublane-SLICING an
+        # iota (lane_L[:BsP]) trips a Mosaic layout check (the iota is held
+        # in a sublane-broadcast register layout; bisected on v5e).
+        lane_Lb = lax.broadcasted_iota(jnp.int32, (BsP, Lp), 1).astype(jnp.float32)
+        # beam id of each row (rows are beam-major)
+        brows = (lax.broadcasted_iota(jnp.int32, (R, 1), 0) // BsP).astype(jnp.float32)
+
+        for li in range(nl):
+            h_scr[li] = init_ref[li]
+        score_scr[:] = jnp.zeros_like(score_scr)
+        tok_scr[:] = jnp.zeros_like(tok_scr)
+        yprev_scr[:] = jnp.zeros_like(yprev_scr)
+
+        def step(u, _):
+            # ---- attention over the (loop-invariant) encoder K/V ----------
+            q = (
+                jnp.dot(h_scr[nl - 1], wq_ref[:],
+                        preferred_element_type=jnp.float32)
+                + bq_ref[0]
+            )  # (R, Kd)
+            ctx_parts = []
+            for w in range(W):
+                qw = q[w * BsP:(w + 1) * BsP]  # (BsP, Kd)
+                att = tmask_ref[:]  # additive: 0 valid, NEG masked/padded
+                lane_T = lax.broadcasted_iota(jnp.int32, att.shape, 1).astype(jnp.float32)
+                for t in range(T):
+                    s = jnp.sum(qw * k_ref[t], axis=1, keepdims=True) * rsqrt_kd
+                    att = att + jnp.where(lane_T == t, s, 0.0)
+                m = jnp.max(att, axis=1, keepdims=True)
+                e = jnp.exp(att - m)
+                wgt = e / jnp.sum(e, axis=1, keepdims=True)  # (BsP, Tp)
+                ctx_w = jnp.zeros((BsP, v_ref.shape[-1]), jnp.float32)
+                for t in range(T):
+                    ctx_w = ctx_w + wgt[:, t:t + 1] * v_ref[t]
+                ctx_parts.append(ctx_w)
+            ctx = jnp.concatenate(ctx_parts, axis=0)  # (R, Vd)
+
+            # ---- embed previous token + stacked GRU cells -----------------
+            emb = (
+                jnp.dot(yprev_scr[:], we_ref[:],
+                        preferred_element_type=jnp.float32)
+                + be_ref[0]
+            )
+            x = jnp.concatenate([emb, ctx], axis=1)
+            new_h = []
+            for li in range(nl):
+                wih, bih, whh, bhh = cell_refs[4 * li: 4 * li + 4]
+                gi = jnp.dot(x, wih[:], preferred_element_type=jnp.float32) + bih[0]
+                gh = (
+                    jnp.dot(h_scr[li], whh[:], preferred_element_type=jnp.float32)
+                    + bhh[0]
+                )
+                rz = _sigmoid(gi[:, : 2 * H] + gh[:, : 2 * H])
+                r, z = rz[:, :H], rz[:, H:]
+                n = jnp.tanh(gi[:, 2 * H:] + r * gh[:, 2 * H:])
+                hn = n + z * (h_scr[li] - n)
+                new_h.append(hn)
+                x = hn
+
+            # ---- masked log-softmax over the (lane-padded) vocab ----------
+            logits = (
+                jnp.dot(x, wl_ref[:], preferred_element_type=jnp.float32)
+                + bl_ref[0]
+                + lmask_ref[0]  # NEG on pad lanes
+            )
+            m = jnp.max(logits, axis=1, keepdims=True)
+            e = jnp.exp(logits - m)
+            logp = logits - m - jnp.log(jnp.sum(e, axis=1, keepdims=True))
+
+            # ---- beam extension + iterative top-W -------------------------
+            ext = score_scr[:] + logp  # (R, Lp)
+            # first step: all beams identical — keep only beam 0's
+            # extensions (reference models.py:636)
+            ext = jnp.where((u == 0) & (brows > 0), NEG, ext)
+
+            # Selection carries (mj/selw/seltok) are held at FULL lane width
+            # (BsP, Lp) — Mosaic cannot concatenate width-1 arrays — and
+            # sliced to width 1 only after the final (R, Lp) concatenate.
+            lanes0 = jnp.zeros((BsP, Lp), jnp.float32)
+            best_s, best_w, best_t = [], [], []
+            for _ in range(W):
+                mb = ext[0:BsP]
+                for w in range(1, W):
+                    mb = jnp.maximum(mb, ext[w * BsP:(w + 1) * BsP])
+                mj = jnp.max(mb, axis=1, keepdims=True) + lanes0  # (BsP, Lp)
+                # lexicographic argmin over (beam, lane) among the maxima —
+                # lax.top_k's first-occurrence order on the w*V + l flat index
+                selw = jnp.full((BsP, Lp), float(W), jnp.float32)
+                for w in range(W - 1, -1, -1):
+                    eq = ext[w * BsP:(w + 1) * BsP] == mj
+                    hit = jnp.max(jnp.where(eq, 1.0, 0.0), axis=1, keepdims=True)
+                    selw = jnp.where(hit > 0, float(w), selw)
+                seltok = jnp.full((BsP, Lp), float(Lp), jnp.float32)
+                for w in range(W):
+                    eq = (ext[w * BsP:(w + 1) * BsP] == mj) & (selw == w)
+                    cand = jnp.min(
+                        jnp.where(eq, lane_Lb, float(Lp)), axis=1, keepdims=True
+                    )
+                    seltok = jnp.minimum(seltok, cand)
+                # knock out exactly the selected (beam, token) candidate
+                selw_full = jnp.concatenate([selw] * W, axis=0)
+                selt_full = jnp.concatenate([seltok] * W, axis=0)
+                ext = jnp.where(
+                    (brows == selw_full) & (lane_L == selt_full), NEG, ext
+                )
+                best_s.append(mj)
+                best_w.append(selw)
+                best_t.append(seltok)
+
+            # rows of new beam j take (score, origin, token) of winner j
+            selw_rows = jnp.concatenate(best_w, axis=0)[:, 0:1]  # (R, 1)
+            tok_rows = jnp.concatenate(best_t, axis=0)[:, 0:1]
+            score_rows = jnp.concatenate(best_s, axis=0)[:, 0:1]
+
+            def beam_gather(a):  # new rows = old rows of beam selw_rows
+                out = jnp.zeros_like(a)
+                for w in range(W):
+                    blk = a[w * BsP:(w + 1) * BsP]
+                    tiled = jnp.concatenate([blk] * W, axis=0)
+                    out = out + jnp.where(selw_rows == w, tiled, 0.0)
+                return out
+
+            for li in range(nl):
+                h_scr[li] = beam_gather(new_h[li])
+            toks = beam_gather(tok_scr[:])
+            tok_scr[:] = jnp.where(lane_U == u, tok_rows, toks)
+            score_scr[:] = score_rows
+            yprev_scr[:] = jnp.where(lane_L == tok_rows, 1.0, 0.0)
+            return 0
+
+        lax.fori_loop(0, U, step, 0)
+        scores_out[:] = score_scr[:]
+        tokens_out[:] = tok_scr[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nl", "beam_width", "max_len", "kd_true", "interpret"),
+)
+def _beam_call(kv_args, cell_args, init, nl, beam_width, max_len, kd_true,
+               interpret):
+    k, v, tmask, wq, bq, we, be, wl, bl, lmask = kv_args
+    T, BsP, _ = k.shape
+    W = beam_width
+    H = init.shape[-1]
+    Lp = we.shape[0]
+    Up = _ceil_to(max_len, 128)
+    R = W * BsP
+
+    kernel = _mk_beam_kernel(W, BsP, nl, T, max_len, H, kd_true, Lp, Up)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_inputs = 8 + 4 * nl + 3
+    scores, tokens = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[full] * n_inputs,
+        out_specs=(full, full),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R, Up), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nl, R, H), jnp.float32),
+            pltpu.VMEM((R, 1), jnp.float32),
+            pltpu.VMEM((R, Up), jnp.float32),
+            pltpu.VMEM((R, Lp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(k, v, tmask, init, wq, bq, we, be, *cell_args, wl, bl, lmask)
+    return scores, tokens
+
+
+def _pad_gate_cols(w, H: int, Hp: int):
+    """Pad each of the 3 gate blocks of a (..., 3H) GRU tensor to (..., 3Hp)."""
+    if Hp == H:
+        return w
+    pads = [(0, 0)] * (w.ndim - 1)
+    return jnp.concatenate(
+        [jnp.pad(w[..., g * H:(g + 1) * H], pads + [(0, Hp - H)]) for g in range(3)],
+        axis=-1,
+    )
+
+
+def beam_decode_pallas(dec_params, arch, keys, values, beam_width: int,
+                       max_len: int, enc_mask=None, interpret: bool | None = None):
+    """Fused beam search. keys (B, T, Kd) / values (B, T, Vd) from
+    :func:`tpu_slu.ops.attention.attention_kv`.
+
+    Returns ``(scores (beam, B), tokens (beam, B, max_len) int32)`` —
+    the same contract (and search semantics) as ``ops.beam.beam_search``
+    driving ``models.slu._decoder_step``.
+
+    Non-lane-aligned widths (decoder H, key Kd, value Vd) are zero-padded
+    to 128 multiples here, which is numerically EXACT, not approximate:
+    padded key/query lanes contribute 0 to attention scores, padded value
+    lanes produce 0 context that meets zero weight rows in the first cell,
+    and padded hidden lanes stay identically 0 through the GRU update
+    (gi = gh = 0 ⇒ r = z = ½, n = 0 ⇒ h' = ½·h, with h₀ = 0) while all
+    downstream weight rows at pad positions are 0.
+    """
+    if interpret is None:
+        interpret = _interpret()
+    Bs, T, Kd = keys.shape
+    Vd = values.shape[-1]
+    H = arch.decoder_dim
+    BsP = _ceil_to(Bs, 8)  # sublane-align the batch; pad rows are dropped
+    W = beam_width
+    nl = arch.num_decoder_layers
+    L = arch.num_labels
+    Lp = _ceil_to(L, 128)
+    Tp = _ceil_to(T, 128)
+    Hp = _ceil_to(H, 128)
+    Kp = _ceil_to(Kd, 128)
+    Vp = _ceil_to(Vd, 128)
+
+    pad_b = [(0, BsP - Bs)]
+    k = jnp.transpose(jnp.pad(keys, pad_b + [(0, 0), (0, Kp - Kd)]), (1, 0, 2))
+    v = jnp.transpose(jnp.pad(values, pad_b + [(0, 0), (0, Vp - Vd)]), (1, 0, 2))
+    # additive time mask: 0 on valid (b, t), NEG on padded lanes / rows /
+    # masked encoder frames
+    valid = jnp.ones((Bs, T), bool) if enc_mask is None else enc_mask
+    tmask = jnp.where(
+        jnp.pad(valid, pad_b + [(0, Tp - T)]), 0.0, NEG
+    ).astype(jnp.float32)
+
+    we = jnp.pad(dec_params["embed"]["w"], [(0, Lp - L), (0, Hp - H)])
+    be = jnp.pad(dec_params["embed"]["b"], [(0, Hp - H)])[None]
+    wl = jnp.pad(dec_params["linear"]["w"], [(0, Hp - H), (0, Lp - L)])
+    bl = jnp.pad(dec_params["linear"]["b"], [(0, Lp - L)])[None]
+    lmask = jnp.where(jnp.arange(Lp) < L, 0.0, NEG).astype(jnp.float32)[None]
+    wq = jnp.pad(dec_params["attention"]["query"]["w"], [(0, Hp - H), (0, Kp - Kd)])
+    bq = jnp.pad(dec_params["attention"]["query"]["b"], [(0, Kp - Kd)])[None]
+    cell_args = []
+    for li in range(nl):
+        c = dec_params["rnn"][str(2 * li)]
+        w_ih = _pad_gate_cols(c["w_ih"], H, Hp)  # (in, 3Hp)
+        if li == 0:
+            # input rows are [emb (H) | ctx (Vd)] -> re-lay to [Hp | Vp]
+            w0 = jnp.zeros((Hp + Vp, 3 * Hp), w_ih.dtype)
+            w0 = w0.at[:H].set(w_ih[:H]).at[Hp:Hp + Vd].set(w_ih[H:])
+            w_ih = w0
+        else:
+            w_ih = jnp.pad(w_ih, [(0, Hp - H), (0, 0)])
+        w_hh = jnp.pad(_pad_gate_cols(c["w_hh"], H, Hp), [(0, Hp - H), (0, 0)])
+        b_ih = _pad_gate_cols(c["b_ih"], H, Hp)[None]
+        b_hh = _pad_gate_cols(c["b_hh"], H, Hp)[None]
+        cell_args += [w_ih, b_ih, w_hh, b_hh]
+    init = jnp.broadcast_to(
+        jnp.pad(dec_params["initial_state"], [(0, 0), (0, Hp - H)])[:, None, :],
+        (nl, W * BsP, Hp),
+    )  # pre-broadcast: size-1 dims inside the kernel trip Mosaic
+
+    scores, tokens = _beam_call(
+        (k, v, tmask, wq, bq, we, be, wl, bl, lmask),
+        tuple(cell_args), init, nl, W, max_len, Kd, interpret,
+    )
+    scores = scores.reshape(W, BsP)[:, :Bs]
+    tokens = tokens.reshape(W, BsP, -1)[:, :Bs, :max_len].astype(jnp.int32)
+    return scores, tokens
