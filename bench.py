@@ -257,6 +257,26 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", __file__.rsplit("/", 1)[0] + "/.jax_cache")
 
+    # The axon relay goes UNAVAILABLE for minutes at a time (observed
+    # 2026-08-17: backend init hung 18 min then failed). The contract number
+    # is captured ONCE per round by the driver, so ride out transient
+    # windows: retry backend init for up to ~10 minutes before giving up.
+    for attempt in range(10):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            if attempt == 9:
+                raise
+            print(f"backend init failed (attempt {attempt + 1}/10): {e}; "
+                  "retrying in 60 s", file=sys.stderr, flush=True)
+            try:
+                import jax.extend.backend
+                jax.extend.backend.clear_backends()  # init failures are cached
+            except Exception:
+                pass
+            time.sleep(60)
+
     import __graft_entry__
     from tpu_slu.models import encoder as enc
     from tpu_slu.models import slu as slu_mod
