@@ -74,6 +74,32 @@ def test_fused_beam_respects_encoder_mask():
     np.testing.assert_array_equal(np.asarray(tokens), np.asarray(ref_tokens))
 
 
+def test_routing_gate(monkeypatch):
+    """Env opt-out, frame cap, and VMEM cap all force the scan fallback."""
+    from tpu_slu.ops import pallas_beam as pb
+
+    arch = Seq2SeqArch(
+        num_labels=98, num_encoder_layers=1, encoder_dim=128,
+        num_decoder_layers=2, decoder_dim=256, key_dim=128, value_dim=256,
+        sos=0, max_decode_len=200,
+    )
+    monkeypatch.setattr(pb, "gru_pallas_available", lambda: True)
+    assert pb.beam_pallas_enabled(arch, 16, n_enc_frames=25)
+    monkeypatch.setenv("TPU_SLU_BEAM_FUSED", "0")
+    assert not pb.beam_pallas_enabled(arch, 16, n_enc_frames=25)
+    monkeypatch.delenv("TPU_SLU_BEAM_FUSED")
+    assert not pb.beam_pallas_enabled(
+        arch, 16, n_enc_frames=pb.MAX_FUSED_FRAMES + 1
+    )
+    # a batch x frames x beam combination whose VMEM-resident working set
+    # cannot fit on-chip routes to the scan instead of failing Mosaic alloc
+    assert not pb.beam_pallas_enabled(
+        arch, 512, n_enc_frames=512, beam_width=8
+    )
+    monkeypatch.setattr(pb, "gru_pallas_available", lambda: False)
+    assert not pb.beam_pallas_enabled(arch, 16, n_enc_frames=25)
+
+
 def test_fused_beam_single_layer_decoder():
     Bs, T, W, U = 5, 4, 4, 6
     arch, dec, keys, values = _setup(4, Bs, T, W, U, nl=1)

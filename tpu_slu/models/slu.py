@@ -326,7 +326,8 @@ def seq2seq_beam_infer(params, arch: Seq2SeqArch, feats, beam_width: int = 4, *,
 
     from tpu_slu.ops.pallas_beam import beam_decode_pallas, beam_pallas_enabled
 
-    if beam_pallas_enabled(arch, B, n_enc_frames=enc_out.shape[1]):
+    if beam_pallas_enabled(arch, B, n_enc_frames=enc_out.shape[1],
+                           beam_width=beam_width):
         return beam_decode_pallas(
             dec, arch, enc_kv[0], enc_kv[1], beam_width, arch.max_decode_len,
             enc_mask=enc_mask,

@@ -55,21 +55,49 @@ NEG = -1e30  # additive mask value; avoids inf-inf NaNs in the softmaxes
 MAX_FUSED_FRAMES = 512
 
 
-def beam_pallas_enabled(arch, batch_size: int, n_enc_frames: int | None = None) -> bool:
+# Everything the kernel touches is VMEM-resident for the whole search; stay
+# comfortably under the ~16 MB/core budget or fall back to the XLA scan.
+MAX_FUSED_VMEM_BYTES = 12 * 1024 * 1024
+
+
+def _fused_vmem_bytes(arch, batch_size: int, n_enc_frames: int,
+                      beam_width: int) -> int:
+    """Coarse VMEM footprint estimate (bytes, f32) of the fused search."""
+    BsP = _ceil_to(batch_size, 8)
+    R = beam_width * BsP
+    nl = arch.num_decoder_layers
+    Hp = _ceil_to(arch.decoder_dim, 128)
+    Kp = _ceil_to(arch.key_dim, 128)
+    Vp = _ceil_to(arch.value_dim, 128)
+    Lp = _ceil_to(arch.num_labels, 128)
+    Up = _ceil_to(arch.max_decode_len, 128)
+    kv = n_enc_frames * BsP * (Kp + Vp)
+    weights = nl * ((Hp + Vp) + Hp) * 3 * Hp + 2 * Lp * Hp + Hp * Kp
+    state = 2 * nl * R * Hp + R * Up * 2 + 3 * R * Lp  # h+init, toks in/out, ext/yprev/logits
+    return 4 * (kv + weights + state)
+
+
+def beam_pallas_enabled(arch, batch_size: int, n_enc_frames: int | None = None,
+                        beam_width: int = 4) -> bool:
     """Route ``seq2seq_beam_infer`` through the fused kernel?
 
     On by default on TPU; ``TPU_SLU_BEAM_FUSED=0`` opts out. Arbitrary
     projection widths are supported (non-lane-aligned dims — e.g. the
     reference's ``all_real_seq2seq.cfg`` key_dim=100 / value_dim=200 — are
     zero-padded to 128 multiples host-side, which is numerically exact:
-    see :func:`beam_decode_pallas`). Only an unbounded encoder length falls
-    back to the XLA scan (the in-kernel attention loop is unrolled).
+    see :func:`beam_decode_pallas`). Falls back to the XLA scan when the
+    encoder length is unbounded (the in-kernel attention loop is unrolled)
+    or the VMEM-resident working set would not fit on-chip.
     """
     if os.environ.get("TPU_SLU_BEAM_FUSED", "1") == "0":
         return False
     if not gru_pallas_available():
         return False
     if n_enc_frames is not None and n_enc_frames > MAX_FUSED_FRAMES:
+        return False
+    if n_enc_frames is not None and _fused_vmem_bytes(
+        arch, batch_size, n_enc_frames, beam_width
+    ) > MAX_FUSED_VMEM_BYTES:
         return False
     return True
 
@@ -112,6 +140,11 @@ def _mk_beam_kernel(W: int, BsP: int, nl: int, T: int, U: int,
 
         def step(u, _):
             # ---- attention over the (loop-invariant) encoder K/V ----------
+            # The frame loops unroll over the TRUE frame count T, not the
+            # lane-padded tmask width Tp: k_ref/v_ref keep their unpadded
+            # leading dim (only the last two dims of a kernel operand are
+            # tiled), and every frame >= T is NEG-masked for all rows, so
+            # never touching it is exact (exp(NEG - m) == 0 in the softmax).
             q = (
                 jnp.dot(h_scr[nl - 1], wq_ref[:],
                         preferred_element_type=jnp.float32)
@@ -126,7 +159,7 @@ def _mk_beam_kernel(W: int, BsP: int, nl: int, T: int, U: int,
                     s = jnp.sum(qw * k_ref[t], axis=1, keepdims=True) * rsqrt_kd
                     att = att + jnp.where(lane_T == t, s, 0.0)
                 m = jnp.max(att, axis=1, keepdims=True)
-                e = jnp.exp(att - m)
+                e = jnp.exp(att - m)  # exp(NEG - m) == 0 on padded frames
                 wgt = e / jnp.sum(e, axis=1, keepdims=True)  # (BsP, Tp)
                 ctx_w = jnp.zeros((BsP, v_ref.shape[-1]), jnp.float32)
                 for t in range(T):
