@@ -1,0 +1,140 @@
+"""Same-process A/B: fused Pallas beam kernel vs the XLA scan beam, on TPU.
+
+Hardware parity + timing harness for ``ops/pallas_beam.py`` (the chip and
+relay are windowed — variants MUST be interleaved in one process, CLAUDE.md).
+Checks token exactness and score closeness on the flagship seq2seq topology
+AND on an unaligned topology (key_dim=100 / value_dim=200, the reference's
+``all_real_seq2seq.cfg`` shape) that exercises the host-side lane padding,
+then reports interleaved two-point-slope timings.
+
+Usage: python tools/bench_beam_ab.py [--batch 16] [--max-len 200] [--trials 3]
+"""
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
+import jax.numpy as jnp
+import numpy as np
+
+import __graft_entry__
+from tpu_slu.models import encoder as enc
+from tpu_slu.models import slu as slu_mod
+from tpu_slu.models.slu import Model, Seq2SeqArch, init_seq2seq_params
+from tpu_slu.ops.attention import attention_kv
+from tpu_slu.ops.beam import beam_search
+from tpu_slu.ops.gru import resolve_gru_impl
+from tpu_slu.ops.pallas_beam import beam_decode_pallas, beam_pallas_enabled
+
+
+def scan_beam(dec, arch, keys, values, Bs, W, U):
+    state0 = jnp.broadcast_to(dec["initial_state"][None], (Bs,) + dec["initial_state"].shape)
+
+    def step_fn(state, y_prev):
+        return slu_mod._decoder_step(dec, arch, (keys, values), state, y_prev, train=False)
+
+    return beam_search(step_fn, state0, Bs, arch.num_labels, U, W)
+
+
+def slope_ms(fn, args, iters=60):
+    fs, _ = fn(*args)
+    np.asarray(fs)  # warm
+    t0 = time.time()
+    r = fn(*args)
+    np.asarray(r[0])
+    t1 = time.time() - t0
+    t0 = time.time()
+    for _ in range(iters):
+        r = fn(*args)
+    np.asarray(r[0])
+    tk = time.time() - t0
+    return (tk - t1) / (iters - 1) * 1e3
+
+
+def check(tag, fused_out, scan_out):
+    fs, ft = (np.asarray(a) for a in fused_out)
+    ss, st = (np.asarray(a) for a in scan_out)
+    tok_eq = np.array_equal(ft, st)
+    sc_ok = np.allclose(fs, ss, rtol=1e-4, atol=1e-4)
+    print(f"{tag}: tokens_equal={tok_eq} ({(ft != st).mean():.4f} mismatch) "
+          f"scores_close={sc_ok}", flush=True)
+    return tok_eq and sc_ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--max-len", type=int, default=200)
+    ap.add_argument("--beam", type=int, default=4)
+    ap.add_argument("--trials", type=int, default=3)
+    args = ap.parse_args()
+    B, U, W = args.batch, args.max_len, args.beam
+
+    print("devices:", jax.devices(), flush=True)
+
+    # ---- flagship topology, through the real encoder -----------------------
+    config = __graft_entry__._make_config(tempfile.mkdtemp(), small=False)
+    config.seq2seq = True
+    config.Sy_intent = ["<sos>"] + [chr(32 + i) for i in range(95)] + ["<eos>"]
+    config.intent_encoder_dim = 128
+    config.num_intent_encoder_layers = 1
+    config.intent_decoder_dim = 256
+    config.num_intent_decoder_layers = 2
+    config.intent_decoder_key_dim = 128
+    config.intent_decoder_value_dim = 256
+    config.seq2seq_max_decode_len = U
+    model = Model(config)
+    impl = resolve_gru_impl(config)
+    arch = model.seq2seq_arch
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((B, 64000), np.float32))
+    feats = jax.jit(lambda p, x: enc.encoder_features(
+        p["pretrained_model"], model.encoder_arch, x, gru_impl=impl))(model.params, x)
+    enc_out = jax.jit(lambda p, f: slu_mod.seq2seq_encode(
+        p["seq2seq"]["encoder"], arch, f, train=False, gru_impl=impl))(model.params, feats)
+    dec = model.params["seq2seq"]["decoder"]
+    keys, values = jax.jit(lambda d, e: attention_kv(d["attention"], e))(dec, enc_out)
+    print("enc frames:", enc_out.shape[1], "fused enabled:",
+          beam_pallas_enabled(arch, B, n_enc_frames=enc_out.shape[1], beam_width=W),
+          flush=True)
+
+    fused = jax.jit(lambda d, k, v: beam_decode_pallas(d, arch, k, v, W, U))
+    scan = jax.jit(lambda d, k, v: scan_beam(d, arch, k, v, B, W, U))
+    ok = check("flagship", fused(dec, keys, values), scan(dec, keys, values))
+
+    # ---- unaligned topology (lane-padding path) ----------------------------
+    u_arch = Seq2SeqArch(
+        num_labels=98, num_encoder_layers=1, encoder_dim=128,
+        num_decoder_layers=2, decoder_dim=256, key_dim=100, value_dim=200,
+        sos=0, max_decode_len=100,
+    )
+    u_dec = init_seq2seq_params(jax.random.PRNGKey(7), u_arch, 256)["decoder"]
+    u_enc = jnp.asarray(np.random.default_rng(7).standard_normal((B, 25, 256), np.float32))
+    u_k, u_v = jax.jit(lambda d, e: attention_kv(d["attention"], e))(u_dec, u_enc)
+    u_fused = jax.jit(lambda d, k, v: beam_decode_pallas(d, u_arch, k, v, W, 100))
+    u_scan = jax.jit(lambda d, k, v: scan_beam(d, u_arch, k, v, B, W, 100))
+    ok &= check("unaligned(k100/v200)", u_fused(u_dec, u_k, u_v), u_scan(u_dec, u_k, u_v))
+
+    # ---- interleaved timings ------------------------------------------------
+    for trial in range(args.trials):
+        f_ms = slope_ms(fused, (dec, keys, values))
+        s_ms = slope_ms(scan, (dec, keys, values))
+        print(f"trial {trial}: fused {f_ms:.2f} ms  scan {s_ms:.2f} ms  "
+              f"speedup {s_ms / f_ms:.2f}x", flush=True)
+
+    print("BEAM AB", "OK" if ok else "PARITY FAILURE", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
