@@ -262,6 +262,67 @@ class TestAgainstReferenceImplementation:
         )
 
     @pytest.mark.slow
+    def test_fused_beam_kernel_reference_parity(self, ref_models, tmp_path, rng):
+        """The fused Pallas beam kernel (interpret mode) decodes the same
+        strings as the reference's Python-loop beam search on shared weights
+        — a DIRECT pin, not transitive through the scan beam."""
+        from tpu_slu.models import encoder as enc_mod
+        from tpu_slu.models.torch_import import export_model_state_dict
+        from tpu_slu.ops.attention import attention_kv
+        from tpu_slu.ops.pallas_beam import beam_decode_pallas
+
+        path = fixtures.write_cfg(str(tmp_path / "s.cfg"), folder=str(tmp_path / "exp"),
+                                  seq2seq=True)
+        config = read_config(path)
+        config.num_phonemes = 5
+        config.Sy_intent = ["<sos>", "a", "b", "c", "<eos>"]
+        config.seq2seq_max_decode_len = 32  # interpret mode is slow; 32 steps suffice
+        ours = slu_mod.Model(config)
+        state = export_model_state_dict(
+            ours.params, ours.encoder_arch, seq2seq_arch=ours.seq2seq_arch
+        )
+        ref_model = ref_models.Model(config)
+        ref_model.load_state_dict(state)
+        ref_model.eval()
+
+        x = rng.standard_normal((2, 9000), dtype=np.float32)
+        # call the reference pieces directly: infer(y_lengths=...) shortens
+        # its fixed-length search to 32 steps (interpret mode is slow)
+        with torch.no_grad():
+            feats_t = ref_model.pretrained_model.compute_features(torch.from_numpy(x))
+            enc_t = ref_model.encoder(feats_t)
+            ref_scores, ref_beam = ref_model.decoder.infer(
+                enc_t, config.Sy_intent, B=4, y_lengths=[32, 32]
+            )
+        ref_strings = [
+            ref_model.one_hot_to_string(ref_beam[0, i], config.Sy_intent)
+            for i in range(2)
+        ]
+
+        arch = ours.seq2seq_arch
+        feats = enc_mod.encoder_features(
+            ours.params["pretrained_model"], ours.encoder_arch, jnp.asarray(x)
+        )
+        enc_out = slu_mod.seq2seq_encode(
+            ours.params["encoder"], arch, feats, train=False
+        )
+        keys, values = attention_kv(
+            ours.params["decoder"]["attention"], enc_out
+        )
+        scores, tokens = beam_decode_pallas(
+            ours.params["decoder"], arch, keys, values, 4, 32,
+            interpret=True,
+        )
+        got_strings = [
+            ours.ids_to_string(np.asarray(tokens)[0, i], config.Sy_intent)
+            for i in range(2)
+        ]
+        assert got_strings == ref_strings
+        np.testing.assert_allclose(
+            np.asarray(scores)[0], ref_scores.numpy()[0], rtol=1e-3, atol=1e-3
+        )
+
+    @pytest.mark.slow
     def test_train_here_deploy_in_reference(self, ref_models, tmp_path, rng):
         """Full interop cycle: train with this framework, export the
         checkpoint, load it into the REFERENCE implementation, and verify
