@@ -257,18 +257,22 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", __file__.rsplit("/", 1)[0] + "/.jax_cache")
 
-    # The axon relay goes UNAVAILABLE for minutes at a time (observed
-    # 2026-08-17: backend init hung 18 min then failed). The contract number
-    # is captured ONCE per round by the driver, so ride out transient
-    # windows: retry backend init for up to ~10 minutes before giving up.
-    for attempt in range(10):
+    # The axon relay goes UNAVAILABLE for stretches (observed 2026-08-17: one
+    # backend-init attempt hung ~50 min before failing). The contract number
+    # is captured ONCE per round by the driver, so ride out transient windows
+    # — but bound the loop by WALL CLOCK, not attempts: a single attempt can
+    # itself block for most of an hour.
+    init_deadline = time.time() + 15 * 60
+    attempt = 0
+    while True:
+        attempt += 1
         try:
             jax.devices()
             break
         except RuntimeError as e:
-            if attempt == 9:
+            if time.time() >= init_deadline:
                 raise
-            print(f"backend init failed (attempt {attempt + 1}/10): {e}; "
+            print(f"backend init failed (attempt {attempt}): {e}; "
                   "retrying in 60 s", file=sys.stderr, flush=True)
             try:
                 import jax.extend.backend
