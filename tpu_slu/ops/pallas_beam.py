@@ -71,7 +71,7 @@ def _fused_vmem_bytes(arch, batch_size: int, n_enc_frames: int,
     Vp = _ceil_to(arch.value_dim, 128)
     Lp = _ceil_to(arch.num_labels, 128)
     Up = _ceil_to(arch.max_decode_len, 128)
-    kv = n_enc_frames * BsP * (Kp + Vp)
+    kv = n_enc_frames * R * (Kp + Vp)  # K/V are beam-tiled to full row width
     weights = nl * ((Hp + Vp) + Hp) * 3 * Hp + 2 * Lp * Hp + Hp * Kp
     state = 2 * nl * R * Hp + R * Up * 2 + 3 * R * Lp  # h+init, toks in/out, ext/yprev/logits
     return 4 * (kv + weights + state)
@@ -140,32 +140,31 @@ def _mk_beam_kernel(W: int, BsP: int, nl: int, T: int, U: int,
 
         def step(u, _):
             # ---- attention over the (loop-invariant) encoder K/V ----------
-            # The frame loops unroll over the TRUE frame count T, not the
-            # lane-padded tmask width Tp: k_ref/v_ref keep their unpadded
-            # leading dim (only the last two dims of a kernel operand are
-            # tiled), and every frame >= T is NEG-masked for all rows, so
-            # never touching it is exact (exp(NEG - m) == 0 in the softmax).
+            # k_ref/v_ref arrive BEAM-TILED host-side: (T, R, .) with the
+            # same (BsP, .) frame repeated W times along rows, so every
+            # frame op is one full-R-width vector op instead of W narrow
+            # (BsP, .) ops — the per-step instruction count is what binds a
+            # VMEM-resident kernel, not element throughput. The frame loops
+            # unroll over the TRUE frame count T, not the lane-padded tmask
+            # width Tp (only the last two dims of an operand are tiled):
+            # every frame >= T is NEG-masked for all rows, so never touching
+            # it is exact (exp(NEG - m) == 0 in the softmax).
             q = (
                 jnp.dot(h_scr[nl - 1], wq_ref[:],
                         preferred_element_type=jnp.float32)
                 + bq_ref[0]
             )  # (R, Kd)
-            ctx_parts = []
-            for w in range(W):
-                qw = q[w * BsP:(w + 1) * BsP]  # (BsP, Kd)
-                att = tmask_ref[:]  # additive: 0 valid, NEG masked/padded
-                lane_T = lax.broadcasted_iota(jnp.int32, att.shape, 1).astype(jnp.float32)
-                for t in range(T):
-                    s = jnp.sum(qw * k_ref[t], axis=1, keepdims=True) * rsqrt_kd
-                    att = att + jnp.where(lane_T == t, s, 0.0)
-                m = jnp.max(att, axis=1, keepdims=True)
-                e = jnp.exp(att - m)  # exp(NEG - m) == 0 on padded frames
-                wgt = e / jnp.sum(e, axis=1, keepdims=True)  # (BsP, Tp)
-                ctx_w = jnp.zeros((BsP, v_ref.shape[-1]), jnp.float32)
-                for t in range(T):
-                    ctx_w = ctx_w + wgt[:, t:t + 1] * v_ref[t]
-                ctx_parts.append(ctx_w)
-            ctx = jnp.concatenate(ctx_parts, axis=0)  # (R, Vd)
+            att = tmask_ref[:]  # (R, Tp) additive: 0 valid, NEG masked/pad
+            lane_T = lax.broadcasted_iota(jnp.int32, att.shape, 1).astype(jnp.float32)
+            for t in range(T):
+                s = jnp.sum(q * k_ref[t], axis=1, keepdims=True) * rsqrt_kd
+                att = att + jnp.where(lane_T == t, s, 0.0)
+            m = jnp.max(att, axis=1, keepdims=True)
+            e = jnp.exp(att - m)  # exp(NEG - m) == 0 on padded frames
+            wgt = e / jnp.sum(e, axis=1, keepdims=True)  # (R, Tp)
+            ctx = jnp.zeros((R, v_ref.shape[-1]), jnp.float32)
+            for t in range(T):
+                ctx = ctx + wgt[:, t:t + 1] * v_ref[t]  # (R, Vd)
 
             # ---- embed previous token + stacked GRU cells -----------------
             emb = (
@@ -274,12 +273,12 @@ def _mk_beam_kernel(W: int, BsP: int, nl: int, T: int, U: int,
 def _beam_call(kv_args, cell_args, init, nl, beam_width, max_len, kd_true,
                interpret):
     k, v, tmask, wq, bq, we, be, wl, bl, lmask = kv_args
-    T, BsP, _ = k.shape
+    T, R, _ = k.shape  # beam-tiled: R = W * BsP rows
     W = beam_width
+    BsP = R // W
     H = init.shape[-1]
     Lp = we.shape[0]
     Up = _ceil_to(max_len, 128)
-    R = W * BsP
 
     kernel = _mk_beam_kernel(W, BsP, nl, T, max_len, H, kd_true, Lp, Up)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -348,14 +347,20 @@ def beam_decode_pallas(dec_params, arch, keys, values, beam_width: int,
     Vp = _ceil_to(Vd, 128)
 
     pad_b = [(0, BsP - Bs)]
+    # K/V/tmask are beam-tiled to full row width (rows are beam-major, all W
+    # beams of a batch element attend over the same frames) so the kernel's
+    # per-frame attention ops run at (R, .) width — see the kernel comment.
     k = jnp.transpose(jnp.pad(keys, pad_b + [(0, 0), (0, Kp - Kd)]), (1, 0, 2))
     v = jnp.transpose(jnp.pad(values, pad_b + [(0, 0), (0, Vp - Vd)]), (1, 0, 2))
+    k = jnp.concatenate([k] * W, axis=1)  # (T, R, Kp)
+    v = jnp.concatenate([v] * W, axis=1)  # (T, R, Vp)
     # additive time mask: 0 on valid (b, t), NEG on padded lanes / rows /
     # masked encoder frames
     valid = jnp.ones((Bs, T), bool) if enc_mask is None else enc_mask
     tmask = jnp.where(
         jnp.pad(valid, pad_b + [(0, Tp - T)]), 0.0, NEG
     ).astype(jnp.float32)
+    tmask = jnp.concatenate([tmask] * W, axis=0)  # (R, Tp)
 
     we = jnp.pad(dec_params["embed"]["w"], [(0, Lp - L), (0, Hp - H)])
     be = jnp.pad(dec_params["embed"]["b"], [(0, Hp - H)])[None]
