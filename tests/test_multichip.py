@@ -113,3 +113,36 @@ def test_vocab_head_model_sharding():
             params_sharded, jnp.asarray(x)
         )
     np.testing.assert_allclose(np.asarray(wd), np.asarray(ref_wd), rtol=1e-4, atol=1e-5)
+
+
+def test_dp_inference_matches_single_device():
+    """make_dp_infer: the batch-sharded decode path reproduces single-device
+    predictions exactly (SPMD inference over the data axis)."""
+    import tempfile
+
+    from tpu_slu.parallel.mesh import make_dp_infer
+
+    config = __graft_entry__._make_config(tempfile.mkdtemp(), small=True)
+    model = Model(config)
+    earch, iarch = model.encoder_arch, model.intent_arch
+
+    def infer(params, x):
+        feats = enc.encoder_features(params["pretrained_model"], earch, x)
+        logits = slu_mod.intent_logits(params["intent_layers"], iarch, feats)
+        return slu_mod.intent_predictions(logits, iarch.values_per_slot)
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((16, 8000), dtype=np.float32))
+    ref = jax.jit(infer)(model.params, x)
+
+    mesh = make_mesh(8)
+    with mesh:
+        dp_infer = make_dp_infer(infer, mesh, model.params, x)
+        params_sharded = jax.device_put(
+            model.params, param_shardings(mesh, model.params, shard_vocab_heads=False)
+        )
+        got = dp_infer(params_sharded, shard_batch(x, mesh))
+        # per-example outputs stay batch-sharded until the host reads them
+        assert len(got.sharding.device_set) == 8
+
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

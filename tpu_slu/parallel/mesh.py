@@ -121,3 +121,24 @@ def make_dp_train_step(step_fn, mesh: Mesh, params, opt_state, batch_template,
 def shard_batch(batch: dict, mesh: Mesh):
     """Device-put a host batch with data-axis sharding."""
     return jax.device_put(batch, batch_shardings(mesh, batch))
+
+
+def make_dp_infer(infer_fn, mesh: Mesh, params, input_template):
+    """jit ``infer_fn(params, *inputs)`` data-parallel over the mesh.
+
+    Inference-side SPMD (serving / batch eval): params replicated, every
+    input leaf sharded on its leading batch dim over ``data``; outputs are
+    left unconstrained so per-example results stay batch-sharded and XLA
+    inserts no gather until the host reads them. The batch dim must divide
+    the data-axis size (use the bucketed loader's fixed batch, or pad —
+    ``predict_intents(lengths=)`` makes padding exact).
+
+    The reference has no multi-device inference story at all (SURVEY.md §2
+    "parallelism inventory — explicitly absent"); this is the TPU-native
+    equivalent of scaling ``decode_intents`` over chips.
+    """
+    p_shard = param_shardings(mesh, params, shard_vocab_heads=False)
+    x_shard = batch_shardings(mesh, input_template)
+    if not isinstance(input_template, (tuple, list)):
+        x_shard = (x_shard,)
+    return jax.jit(infer_fn, in_shardings=(p_shard, *x_shard))
