@@ -172,6 +172,39 @@ class TestEncoderParity:
         np.testing.assert_allclose(float(pl_), ref_pl, rtol=1e-4)
         np.testing.assert_allclose(float(pa), ref_pa, rtol=1e-5)
 
+    def test_pretraining_loss_weight_zero_rows_drop_out(self, config, rng):
+        """Weight-0 rows (wrapped multi-host shard duplicates, loader.py) must
+        contribute nothing to the ASR losses, accuracies, or gradients."""
+        arch = EncoderArch.from_config(config)
+        params = init_encoder_params(jax.random.PRNGKey(0), arch)
+        x1 = rng.standard_normal((2, 8000)).astype(np.float32)
+        yp1 = rng.integers(0, 5, (2, 100)).astype(np.int32)
+        yw1 = rng.integers(0, 8, (2, 25)).astype(np.int32)
+        # batch 2 = batch 1 plus a duplicated row carrying weight 0
+        x2 = np.concatenate([x1, x1[:1]])
+        yp2 = np.concatenate([yp1, yp1[:1]])
+        yw2 = np.concatenate([yw1, yw1[:1]])
+        w2 = jnp.asarray([1.0, 1.0, 0.0], jnp.float32)
+
+        def run(x, yp, yw, w):
+            def loss_fn(p):
+                pl_, wl, pa, wa = enc.encoder_loss(
+                    p, arch, jnp.asarray(x), jnp.asarray(yp), jnp.asarray(yw),
+                    weights=w,
+                )
+                return pl_ + wl, (pl_, wl, pa, wa)
+
+            grads, aux = jax.grad(loss_fn, has_aux=True)(params)
+            return grads, aux
+
+        g1, aux1 = run(x1, yp1, yw1, None)
+        g2, aux2 = run(x2, yp2, yw2, w2)
+        for a, b in zip(aux1, aux2):
+            np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+        for la, lb in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=2e-4, atol=1e-6)
+
 
 def _torch_masked_ce(logits_np, y_np):
     logits = torch.from_numpy(logits_np.reshape(-1, logits_np.shape[-1]))

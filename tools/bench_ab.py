@@ -29,8 +29,8 @@ def main():
                         help="comma list; every (batch, impl, dtype) combo is a variant")
     parser.add_argument("--envs", default="",
                         help="comma list of NAME=VAL trace-time env settings, "
-                             "one more variant axis (e.g. TPU_SLU_GRU_SPLIT=0,"
-                             "TPU_SLU_GRU_SPLIT=1); kernels read these while "
+                             "one more variant axis (e.g. TPU_SLU_GRU_ROWSTACK=0,"
+                             "TPU_SLU_GRU_ROWSTACK=1); kernels read these while "
                              "tracing, so each setting compiles its own variant")
     args = parser.parse_args()
 

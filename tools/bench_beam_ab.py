@@ -101,8 +101,8 @@ def main():
     feats = jax.jit(lambda p, x: enc.encoder_features(
         p["pretrained_model"], model.encoder_arch, x, gru_impl=impl))(model.params, x)
     enc_out = jax.jit(lambda p, f: slu_mod.seq2seq_encode(
-        p["seq2seq"]["encoder"], arch, f, train=False, gru_impl=impl))(model.params, feats)
-    dec = model.params["seq2seq"]["decoder"]
+        p["encoder"], arch, f, train=False, gru_impl=impl))(model.params, feats)
+    dec = model.params["decoder"]
     keys, values = jax.jit(lambda d, e: attention_kv(d["attention"], e))(dec, enc_out)
     print("enc frames:", enc_out.shape[1], "fused enabled:",
           beam_pallas_enabled(arch, B, n_enc_frames=enc_out.shape[1], beam_width=W),

@@ -130,9 +130,8 @@ def main():
 
     for name, fn, fargs in stages:
         t0 = time.time()
-        jax.tree.map(lambda a: None, jax.block_until_ready(fn(*fargs))) if False else np.asarray(
-            jax.tree.leaves(fn(*fargs))[0]
-        )
+        # sync via a host fetch — block_until_ready is unreliable through the relay
+        np.asarray(jax.tree.leaves(fn(*fargs))[0])
         print(f"compiled {name}: {time.time() - t0:.1f}s", flush=True)
 
     results = {}

@@ -2,7 +2,7 @@
 
 Times `bigru_apply_shared` eval forwards at the flagship stage shapes
 (gru1/gru2-like: T=400, H=128, fused pool 2) with both kernel variants
-traced in ONE process (TPU_SLU_GRU_SPLIT is read at trace time), rounds
+traced in ONE process (TPU_SLU_GRU_ROWSTACK is read at trace time), rounds
 interleaved so the relay's minute-scale throughput windows hit both equally.
 
 Run: python tools/bench_rowstack.py [--batch 128] [--rounds 6]

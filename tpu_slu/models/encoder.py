@@ -526,31 +526,38 @@ def encoder_posteriors(params, arch: EncoderArch, x, *, gru_impl="scan", lengths
     return phoneme_logits, word_logits
 
 
-def _masked_frame_ce(logits, y):
+def _masked_frame_ce(logits, y, weights=None):
     """Frame-wise cross-entropy with ignore_index=-1 (reference models.py:312-314).
 
-    logits: (B, T, C), y: (B, T) int32 with -1 = ignore.
-    Returns (mean_loss, accuracy) over valid frames.
+    logits: (B, T, C), y: (B, T) int32 with -1 = ignore. ``weights`` is an
+    optional per-example (B,) float vector; weight-0 rows (multi-host wrapped
+    shard duplicates, loader.py) contribute nothing to the loss, the accuracy,
+    or the gradient. Returns (mean_loss, accuracy) over valid weighted frames.
     """
-    valid = y != -1
-    y_safe = jnp.where(valid, y, 0)
+    valid = (y != -1).astype(jnp.float32)
+    if weights is not None:
+        valid = valid * weights.astype(jnp.float32)[:, None]
+    y_safe = jnp.where(y != -1, y, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, y_safe[..., None], axis=-1)[..., 0]
-    denom = jnp.maximum(valid.sum(), 1)
-    loss = jnp.where(valid, nll, 0.0).sum() / denom
+    denom = jnp.maximum(valid.sum(), 1.0)
+    loss = (nll * valid).sum() / denom
     pred = jnp.argmax(logits, axis=-1)
-    acc = jnp.where(valid, (pred == y_safe).astype(jnp.float32), 0.0).sum() / denom
+    acc = ((pred == y_safe).astype(jnp.float32) * valid).sum() / denom
     return loss, acc
 
 
 def encoder_loss(params, arch: EncoderArch, x, y_phoneme, y_word, *, train=False, rng=None,
-                 gru_impl="scan", compute_dtype=None):
+                 gru_impl="scan", compute_dtype=None, weights=None):
     """ASR pre-training losses, reference ``PretrainedModel.forward`` (models.py:291-331).
 
     Returns (phoneme_loss, word_loss, phoneme_acc, word_acc). Labels are
     frame-aligned at the phoneme (25 Hz) / word (6.25 Hz) rates and padded
     with -1 (ignored). When ``pretraining_type == 1`` the word branch is
-    skipped (zeros returned), matching models.py:317-319.
+    skipped (zeros returned), matching models.py:317-319. ``weights`` is an
+    optional per-example (B,) vector: weight-0 rows (wrapped multi-host shard
+    duplicates) drop out of the losses/accs/gradient exactly, so the
+    trainer's w.sum()-weighted epoch aggregation stays unbiased.
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -564,7 +571,7 @@ def encoder_loss(params, arch: EncoderArch, x, y_phoneme, y_word, *, train=False
     # off-by-one between conv ceil lengths and label striding by trimming.
     t = min(out_btc.shape[1], y_phoneme.shape[1])
     phoneme_logits = out_btc[:, :t] @ params["phoneme_linear"]["w"] + params["phoneme_linear"]["b"]
-    phoneme_loss, phoneme_acc = _masked_frame_ce(phoneme_logits, y_phoneme[:, :t])
+    phoneme_loss, phoneme_acc = _masked_frame_ce(phoneme_logits, y_phoneme[:, :t], weights)
 
     if arch.pretraining_type == 1:
         zero = jnp.zeros((), jnp.float32)
@@ -577,7 +584,7 @@ def encoder_loss(params, arch: EncoderArch, x, y_phoneme, y_word, *, train=False
     out = _parts_to_btc(out) if isinstance(out, PartsTM) else out
     t = min(out.shape[1], y_word.shape[1])
     word_logits = out[:, :t] @ params["word_linear"]["w"] + params["word_linear"]["b"]
-    word_loss, word_acc = _masked_frame_ce(word_logits, y_word[:, :t])
+    word_loss, word_acc = _masked_frame_ce(word_logits, y_word[:, :t], weights)
     return phoneme_loss, word_loss, phoneme_acc, word_acc
 
 

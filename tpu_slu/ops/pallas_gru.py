@@ -1359,8 +1359,10 @@ def bigru_apply_shared(params, parts, *, time_block: int | None = None,
       core (gradients flow; the caller applies dropout/downsample).
     * ``train=False`` with ``pool > 1`` and an eligible method — the
       ceil-mode downsample fuses into the kernel epilogue and the outputs
-      are (ceil(T/pool), B, H); ``pooled=True``. The eval path is not
-      differentiable (no VJP) by design.
+      are (ceil(T/pool), B, H); ``pooled=True``. The pooled eval path stays
+      differentiable on demand: its custom VJP recomputes the full-rate
+      forward and runs the exact tb_b-grid backward kernel
+      (tests/test_pallas_gru.py::test_pooled_eval_path_is_differentiable).
     """
     T, B, _ = parts[0].shape
     tb_f = time_block or (64 if B <= 8 else _auto_tb(TIME_BLOCK, B))

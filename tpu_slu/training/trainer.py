@@ -245,7 +245,7 @@ class Trainer:
                     pl_, wl, pa, wa = enc.encoder_loss(
                         unravel(p), arch, batch["x"], batch["y_phoneme"], batch["y_word"],
                         train=True, rng=rng, gru_impl=gru_impl,
-                        compute_dtype=compute_dtype,
+                        compute_dtype=compute_dtype, weights=batch.get("w"),
                     )
                     loss = {1: pl_, 2: pl_ + wl, 3: wl}[ptype]
                     return loss, (pl_, wl, pa, wa)
@@ -265,6 +265,7 @@ class Trainer:
                 return enc.encoder_loss(
                     params, arch, batch["x"], batch["y_phoneme"], batch["y_word"],
                     train=False, gru_impl=gru_impl, compute_dtype=compute_dtype,
+                    weights=batch.get("w"),
                 )
 
             self._train_step = self._jit_step(train_step, n_extras=1)
