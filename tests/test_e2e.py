@@ -185,6 +185,20 @@ class TestCLI:
         assert proc.returncode == 0, proc.stderr[-2000:]
         assert "activate" in proc.stdout or "deactivate" in proc.stdout
 
+    def test_console_script_target(self):
+        """The packaged `tpu-slu` entry point and the repo-root main.py shim
+        resolve to the same driver (pyproject [project.scripts])."""
+        import importlib.util
+
+        from tpu_slu.cli import main as cli_main
+
+        spec = importlib.util.spec_from_file_location(
+            "main_shim", os.path.join(REPO, "main.py")
+        )
+        shim = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(shim)
+        assert shim.main is cli_main
+
     def test_main_pretrain_smoke(self, tmp_path, asr_root):
         folder = str(tmp_path / "exp")
         cfg = fixtures.write_cfg(
