@@ -207,7 +207,9 @@ class TestEncoderParity:
 
 
 def _torch_masked_ce(logits_np, y_np):
-    logits = torch.from_numpy(logits_np.reshape(-1, logits_np.shape[-1]))
+    # copy: the input may be a non-writable view of a JAX buffer, which
+    # torch.from_numpy warns about (undefined behavior if torch wrote to it)
+    logits = torch.from_numpy(logits_np.reshape(-1, logits_np.shape[-1]).copy())
     y = torch.from_numpy(y_np.reshape(-1).astype(np.int64))
     loss = F.cross_entropy(logits, y, ignore_index=-1).item()
     valid = y != -1
