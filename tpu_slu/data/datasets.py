@@ -16,7 +16,13 @@ Deviations (documented):
 * the seq2seq char vocab is sorted (the reference's ``list(set(...))``
   order is process-dependent, ``data.py:203-204``);
 * batches are length-bucketed static shapes with per-example weights
-  (see ``loader.py``) instead of exact-max padding.
+  (see ``loader.py``) instead of exact-max padding;
+* augmentation speed change uses polyphase resampling, which shifts pitch
+  along with tempo, unlike the sox ``tempo`` effect (pitch-preserving
+  WSOLA) the reference's dead code would have used (``data.py:277-316``).
+  The reference never ran its augmentation (``self.augment=False``
+  hardcoded at ``data.py:257,276``), so there is no behavior to match —
+  but the semantic difference matters if comparing against a sox pipeline.
 """
 
 from __future__ import annotations
@@ -182,7 +188,11 @@ class SLUDataset:
 def _augment_wave(x, rng):
     """Working train-time augmentation (the reference's is dead code,
     reference data.py:257,276): speed perturbation (resampling), gain,
-    additive noise at SNR ∈ {0,5,10,15,20} dB."""
+    additive noise at SNR ∈ {0,5,10,15,20} dB.
+
+    Deviation: resample_poly changes pitch along with speed; sox ``tempo``
+    (what the reference's dead code requested) is pitch-preserving WSOLA.
+    See the module docstring's deviations list."""
     from math import gcd
 
     from scipy.signal import resample_poly

@@ -26,9 +26,20 @@ def _load_state(path_or_state) -> dict:
     if isinstance(path_or_state, dict):
         state = path_or_state
     else:
-        import torch
+        from tpu_slu.models import pth_reader
 
-        state = torch.load(path_or_state, map_location="cpu")
+        state = None
+        if pth_reader.is_torch_zip(path_or_state):
+            try:
+                # Torch-free fast path: a TPU host needs no torch install to
+                # read reference checkpoints (flat tensor dicts).
+                state = pth_reader.load_state_dict(path_or_state)
+            except Exception:
+                state = None  # exotic pickle/storage: let torch handle it
+        if state is None:
+            import torch
+
+            state = torch.load(path_or_state, map_location="cpu")
     out = {}
     for k, v in state.items():
         out[k] = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
