@@ -468,6 +468,116 @@ def main():
     except Exception as e:
         seq2seq_beam_ms = f"failed: {e}"
 
+    # Dual-head ASR pretraining step (reference training.py:49-83,
+    # models.py:291-331 — the BASELINE.json pod-scale workload): fwd + bwd
+    # through both vocab heads (42 phonemes + 10k words) via the REAL Trainer
+    # jit, B=64 at the reference's 2.25 s pretraining crop mean.
+    def measure_asr_step(Bt=64, seconds=2.25):
+        import copy
+
+        from tpu_slu.models.encoder import PretrainedModel
+        from tpu_slu.training.trainer import Trainer
+
+        a_cfg = copy.copy(config)
+        a_cfg.pretraining_type = 2
+        a_cfg.folder = tempfile.mkdtemp()
+        pre = PretrainedModel(a_cfg)
+        trainer = Trainer(pre, a_cfg)
+        Tp = int(seconds * 16000)
+        r = np.random.default_rng(4)
+        batch = {
+            "x": jnp.asarray(r.standard_normal((Bt, Tp), np.float32)),
+            "y_phoneme": jnp.asarray(r.integers(
+                -1, a_cfg.num_phonemes,
+                (Bt, -(-Tp // a_cfg.phone_downsample_factor)),
+            ).astype(np.int32)),
+            "y_word": jnp.asarray(r.integers(
+                -1, a_cfg.vocabulary_size,
+                (Bt, -(-Tp // a_cfg.word_downsample_factor)),
+            ).astype(np.int32)),
+            "w": jnp.ones((Bt,), jnp.float32),
+        }
+        state = {"p": trainer._params_carry(), "o": trainer.opt_state}
+
+        def arun(k):
+            t0 = time.time()
+            aux = None
+            for _ in range(k):
+                state["p"], state["o"], aux = trainer._train_step(
+                    state["p"], state["o"], trainer._next_step_idx(), batch
+                )
+            np.asarray(aux[0])
+            return time.time() - t0
+
+        arun(2)
+        ts, fb = robust_slope(arun, 30, outer=3)
+        if fb:
+            fallback_metrics.append("asr_step")
+        return float(ts * 1000)
+
+    try:
+        asr_step_ms = round(measure_asr_step(), 3)
+    except Exception as e:
+        asr_step_ms = f"failed: {e}"
+
+    # Seq2seq teacher-forced train step (reference models.py:515-556 driven
+    # by training.py:84-119): fwd + bwd + masked Adam via the REAL Trainer
+    # jit, U=32 decode steps (typical FSC semantics-string length).
+    def measure_seq2seq_train(Bt=64, U=32):
+        import copy
+
+        from tpu_slu.training.optim import expand_mask
+        from tpu_slu.training.trainer import Trainer
+
+        s_cfg = copy.copy(config)
+        s_cfg.seq2seq = True
+        s_cfg.Sy_intent = ["<sos>"] + [chr(32 + i) for i in range(95)] + ["<eos>"]
+        s_cfg.intent_encoder_dim = 128
+        s_cfg.num_intent_encoder_layers = 1
+        s_cfg.intent_decoder_dim = 256
+        s_cfg.num_intent_decoder_layers = 2
+        s_cfg.intent_decoder_key_dim = 128
+        s_cfg.intent_decoder_value_dim = 256
+        s_cfg.seq2seq_max_decode_len = 200
+        s_cfg.folder = tempfile.mkdtemp()
+        s_model = Model(s_cfg)
+        trainer = Trainer(s_model, s_cfg)
+        Sy = len(s_cfg.Sy_intent)
+        r = np.random.default_rng(5)
+        labels = r.integers(1, Sy - 1, (Bt, U))
+        labels[:, 0] = s_model.SOS
+        labels[:, -1] = Sy - 1  # <eos>
+        batch = {
+            "x": jnp.asarray(r.standard_normal((Bt, T), np.float32)),
+            "y_intent": jnp.asarray(np.eye(Sy, dtype=np.float32)[labels]),
+            "w": jnp.ones((Bt,), jnp.float32),
+            "len": jnp.full((Bt,), T, jnp.int32),
+            "y_len": jnp.full((Bt,), U, jnp.int32),
+        }
+        mask = jax.device_put(expand_mask(s_model.params, s_model.trainable_mask()))
+        state = {"p": trainer._params_carry(), "o": trainer.opt_state}
+
+        def strun(k):
+            t0 = time.time()
+            loss = None
+            for _ in range(k):
+                state["p"], state["o"], (loss, _) = trainer._train_step(
+                    state["p"], state["o"], mask, trainer._next_step_idx(), batch
+                )
+            np.asarray(loss)
+            return time.time() - t0
+
+        strun(2)
+        ts, fb = robust_slope(strun, 20, outer=3)
+        if fb:
+            fallback_metrics.append("seq2seq_train")
+        return float(ts * 1000)
+
+    try:
+        seq2seq_train_ms = round(measure_seq2seq_train(), 3)
+    except Exception as e:
+        seq2seq_train_ms = f"failed: {e}"
+
     baseline = measure_torch_baseline() if args.measure_baseline else TORCH_CPU_BASELINE_UTT_S
 
     # HBM-bandwidth roofline (the BASELINE.json north-star framing): achieved
@@ -502,6 +612,10 @@ def main():
         "train_step_batch": 64,
         "seq2seq_beam_ms": seq2seq_beam_ms,
         "seq2seq_beam_batch": 16,
+        "asr_step_ms": asr_step_ms,
+        "asr_step_batch": 64,
+        "seq2seq_train_ms": seq2seq_train_ms,
+        "seq2seq_train_batch": 64,
         "gru_impl": gru_impl,
         "dtype": args.dtype,
         "ms_per_iter_device": round(dt * 1000, 3),
