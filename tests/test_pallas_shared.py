@@ -126,6 +126,169 @@ def test_train_grads_two_parts(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+class TestTrainFusedPool:
+    """Round-4 fused train path: dropout (full rate, reference order) +
+    ceil-avg-pool in the kernel epilogue, h_prev residuals written directly,
+    pooled cotangents expanded in the backward kernel (VERDICT r3 ask #2)."""
+
+    @staticmethod
+    def _setup(rng, T=21, B=3, D=6, H=8):
+        x = jnp.asarray(rng.standard_normal((B, T, D), dtype=np.float32))
+        params = ops.gru_init(jax.random.PRNGKey(7), D, H, bidirectional=True)
+        return x, params
+
+    @staticmethod
+    def _pool_ceil_valid(a, k):
+        """avg ceil-pool of a (T, B, H) stream, torch partial-window divisor."""
+        Tv = a.shape[0]
+        pad = (-Tv) % k
+        ap = jnp.pad(a, ((0, pad), (0, 0), (0, 0)))
+        cnt = jnp.minimum(
+            jnp.full(((Tv + pad) // k,), k), Tv - jnp.arange(0, Tv + pad, k)
+        ).astype(jnp.float32)
+        return ap.reshape(-1, k, *a.shape[1:]).sum(1) / cnt[:, None, None]
+
+    @pytest.mark.parametrize("T", [32, 21])  # 21: trailing partial window
+    def test_nodrop_matches_scan_plus_pool(self, rng, T):
+        x, params = self._setup(rng, T)
+        k = 2
+        seed = jnp.zeros((1,), jnp.uint32)
+        ref = ops.downsample(scan_ref(params, x), "avg", k, time_axis=1)
+        wout = jnp.asarray(rng.standard_normal(ref.shape, dtype=np.float32))
+
+        def got_loss(params, x):
+            h_f, h_b, pooled = bigru_apply_shared(
+                params, (jnp.swapaxes(x, 0, 1),), train=True, pool=k,
+                pool_method="avg", drop_p=0.0, drop_seed=seed,
+            )
+            assert pooled
+            return jnp.sum(shared_to_btc(h_f, h_b) * wout), shared_to_btc(h_f, h_b)
+
+        def ref_loss(params, x):
+            out = ops.downsample(scan_ref(params, x), "avg", k, time_axis=1)
+            return jnp.sum(out * wout), out
+
+        (_, got), got_g = jax.value_and_grad(got_loss, argnums=(0, 1), has_aux=True)(params, x)
+        (_, ref_out), ref_g = jax.value_and_grad(ref_loss, argnums=(0, 1), has_aux=True)(params, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref_out),
+                                   rtol=1e-5, atol=1e-6)
+        for leaf_r, leaf_g in zip(jax.tree.leaves(ref_g), jax.tree.leaves(got_g)):
+            np.testing.assert_allclose(np.asarray(leaf_g), np.asarray(leaf_r),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_dropout_mask_semantics_and_grads(self, rng):
+        """With dropout on: (a) a pool=1 run recovers a genuine 0/1 mask at
+        the full frame rate applied BEFORE pooling (the reference's
+        dropout-then-pool order); (b) a pool=2 run with the same seed equals
+        the ceil-pool of that same dropped stream (fwd/bwd mask regeneration
+        agrees); (c) gradients match a fixed-mask XLA composite exactly."""
+        T, H, p = 24, 8, 0.5
+        x, params = self._setup(rng, T, H=H)
+        xs = jnp.swapaxes(x, 0, 1)
+        seed = jnp.asarray([12345], jnp.uint32)
+
+        h_f, h_b, _ = bigru_apply_shared(params, (xs,), train=True)
+        d_f, d_b, pooled = bigru_apply_shared(
+            params, (xs,), train=True, pool=1, pool_method="avg",
+            drop_p=p, drop_seed=seed,
+        )
+        assert pooled
+        m_f = jnp.asarray(np.asarray(d_f) != 0.0)
+        m_b = jnp.asarray(np.asarray(d_b) != 0.0)
+        for m in (m_f, m_b):  # a real Bernoulli(0.5)-ish mask, not degenerate
+            assert 0.3 < float(np.mean(np.asarray(m))) < 0.7
+        np.testing.assert_allclose(
+            np.asarray(d_f), np.asarray(jnp.where(m_f, h_f / (1 - p), 0.0)),
+            rtol=1e-5, atol=1e-6,
+        )
+
+        k = 2
+        d2_f, d2_b, _ = bigru_apply_shared(
+            params, (xs,), train=True, pool=k, pool_method="avg",
+            drop_p=p, drop_seed=seed,
+        )
+        np.testing.assert_allclose(
+            np.asarray(d2_f),
+            np.asarray(self._pool_ceil_valid(jnp.where(m_f, h_f / (1 - p), 0.0), k)),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(d2_b),
+            np.asarray(self._pool_ceil_valid(jnp.where(m_b, h_b / (1 - p), 0.0), k)),
+            rtol=1e-5, atol=1e-6,
+        )
+
+        wout = jnp.asarray(rng.standard_normal(d2_f.shape, dtype=np.float32))
+
+        def fused_loss(params, x):
+            a_f, a_b, _ = bigru_apply_shared(
+                params, (jnp.swapaxes(x, 0, 1),), train=True, pool=k,
+                pool_method="avg", drop_p=p, drop_seed=seed,
+            )
+            return jnp.sum(a_f * wout) + jnp.sum(a_b * wout)
+
+        def composite_loss(params, x):
+            a_f, a_b, _ = bigru_apply_shared(
+                params, (jnp.swapaxes(x, 0, 1),), train=True
+            )
+            a_f = self._pool_ceil_valid(jnp.where(m_f, a_f / (1 - p), 0.0), k)
+            a_b = self._pool_ceil_valid(jnp.where(m_b, a_b / (1 - p), 0.0), k)
+            return jnp.sum(a_f * wout) + jnp.sum(a_b * wout)
+
+        fg = jax.grad(fused_loss, argnums=(0, 1))(params, x)
+        cg = jax.grad(composite_loss, argnums=(0, 1))(params, x)
+        for leaf_c, leaf_f in zip(jax.tree.leaves(cg), jax.tree.leaves(fg)):
+            np.testing.assert_allclose(np.asarray(leaf_f), np.asarray(leaf_c),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_seed_changes_mask(self, rng):
+        x, params = self._setup(rng, T=16)
+        xs = jnp.swapaxes(x, 0, 1)
+        outs = [
+            bigru_apply_shared(params, (xs,), train=True, pool=1,
+                               pool_method="avg", drop_p=0.5,
+                               drop_seed=jnp.asarray([s], jnp.uint32))[0]
+            for s in (1, 2)
+        ]
+        assert np.any(np.asarray(outs[0]) != np.asarray(outs[1]))
+
+    def test_encoder_flag_off_matches_on_at_zero_dropout(self, rng, tmp_path,
+                                                         monkeypatch):
+        """TPU_SLU_TRAIN_FUSED_POOL=0 (full-rate kernels + XLA pool) and the
+        default fused path compute the same train-mode function when dropout
+        is 0 — same loss, same gradients."""
+        monkeypatch.setenv("TPU_SLU_PALLAS_INTERPRET", "1")
+        from tests import fixtures
+        from tpu_slu import read_config
+        from tpu_slu.models import encoder as enc
+
+        path = fixtures.write_cfg(str(tmp_path / "c.cfg"), folder=str(tmp_path / "exp"))
+        config = read_config(path)
+        config.num_phonemes = 5
+        arch = enc.EncoderArch.from_config(config)
+        params = enc.init_encoder_params(jax.random.PRNGKey(6), arch)
+        x = jnp.asarray(rng.standard_normal((2, 4000), dtype=np.float32))
+        t_ph = int(arch.num_frames(4000, upto="phoneme"))
+        t_w = int(arch.num_frames(4000))
+        yp = jnp.asarray(rng.integers(-1, 5, (2, t_ph)).astype(np.int32))
+        yw = jnp.asarray(rng.integers(-1, 10, (2, t_w)).astype(np.int32))
+
+        def loss(params):
+            pl_, wl, _, _ = enc.encoder_loss(
+                params, arch, x, yp, yw, train=True, gru_impl="pallas"
+            )
+            return pl_ + wl
+
+        monkeypatch.setenv("TPU_SLU_TRAIN_FUSED_POOL", "0")
+        ref_l, ref_g = jax.value_and_grad(loss)(params)
+        monkeypatch.setenv("TPU_SLU_TRAIN_FUSED_POOL", "1")
+        got_l, got_g = jax.value_and_grad(loss)(params)
+        np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-5)
+        for leaf_r, leaf_g in zip(jax.tree.leaves(ref_g), jax.tree.leaves(got_g)):
+            np.testing.assert_allclose(np.asarray(leaf_g), np.asarray(leaf_r),
+                                       rtol=2e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("method", ["none", "avg", "max"])
 @pytest.mark.parametrize("T", [20, 21])
 def test_downsample_tm_matches_batch_major(rng, method, T):

@@ -371,14 +371,33 @@ def _apply_stack(group_params, specs, out, *, train: bool, rng, gru_impl: str,
             else:  # defensive: bare gru
                 drop_p, ds_method, ds_len = 0.0, "none", 1
             tb = int(gru_impl.split(":", 1)[1]) if ":" in gru_impl else None
-            want_pool = (not train) and ds_len > 1 and ds_method in ("avg", "max")
+            if train:
+                # Fused train path (round 4): dropout (full rate, reference
+                # order) + the ceil avg-pool run in the kernel epilogue, so
+                # the layer writes pooled streams and its h_prev residuals
+                # instead of full-rate outputs plus an XLA shift/dropout/
+                # pool chain. TPU_SLU_TRAIN_FUSED_POOL=0 opts out.
+                want_pool = (
+                    ds_len > 1 and ds_method == "avg"
+                    and os.environ.get("TPU_SLU_TRAIN_FUSED_POOL", "1") != "0"
+                )
+                seed = None
+                if want_pool and rng is not None:
+                    rng, sub = jax.random.split(rng)
+                    seed = jax.random.bits(sub, (1,), jnp.uint32)
+                elif want_pool and drop_p == 0.0:  # train w/o rng: no dropout
+                    seed = jnp.zeros((1,), jnp.uint32)
+            else:
+                want_pool = ds_len > 1 and ds_method in ("avg", "max")
+                seed = None
             h_f, h_b, pooled = bigru_apply_shared(
                 group_params[str(spec.index)], tuple(parts), time_block=tb,
                 train=train, pool=ds_len if want_pool else 1,
                 pool_method=ds_method,
+                drop_p=drop_p if train else 0.0, drop_seed=seed,
             )
             new_parts = [h_f, h_b]
-            if train and drop_p > 0.0:
+            if train and drop_p > 0.0 and not pooled:
                 rng, sub = jax.random.split(rng)
                 hdim = h_f.shape[-1]
                 keep = jax.random.bernoulli(

@@ -1055,13 +1055,231 @@ def _shared_fwd_call(parts, wih_f, bih_f, whh_f, bhh_f,
       wih_b.astype(dt), bih_b[None, :], whh_b.astype(dt), bhh_b[None, :])
 
 
-def _mk_shared_bwd_kernel(n_parts: int, tb: int, T: int, H: int, dims):
+# ---------------------------------------------------------------------------
+# Train-path fused dropout + ceil-avg-pool (round 4)
+#
+# The eval path has written pooled streams since round 3; the TRAIN path kept
+# paying full-rate inter-layer traffic (VERDICT r3): the kernel wrote (T,B,H)
+# per direction, XLA applied dropout and the avg ceil-pool, the backward
+# re-read everything at full rate, and the hp = shift(h) residual cost one
+# more full-rate read+write pass per direction. This core removes all of it
+# while preserving the reference's EXACT semantics (dropout at the full
+# frame rate, THEN the ceil-mode avg pool — reference models.py:230-253):
+#
+# * The forward kernel writes (a) the h_prev residual streams DIRECTLY
+#   (h_prev is the step carry — no XLA shift pass) and (b) the
+#   dropout+pooled next-layer inputs at the pooled rate. The (T, B, H)
+#   layer outputs themselves never touch HBM.
+# * Dropout masks are regenerated, never stored: a counter-based uint32
+#   hash of the NATURAL (t, b, h) coordinates and a traced per-layer seed
+#   (plain VPU ops — works in interpret mode, unlike pltpu.prng_*), so the
+#   forward epilogue and the backward prologue compute bit-identical masks.
+# * The backward kernel takes the POOLED cotangents and expands them
+#   in-kernel: dY_full[t] = keep[t] * dY_pool[t//k] / ((1-p) * cnt(window)),
+#   zeroed past T — the full-rate dY stream and the unpool pass are gone.
+#
+# Traffic per layer boundary (B, T, 2H streams): old = write h + read h +
+# write pooled (+ mask residual) forward, read pooled + write dY_full + read
+# dY_full + read h + write hp + read hp backward; new = write hp + write
+# pooled forward, read hp + read pooled backward.
+# ---------------------------------------------------------------------------
+
+_DIR_SALT_F = 0x9E3779B9
+_DIR_SALT_B = 0x7F4A7C15
+
+
+def _keep_mask(seed, dir_salt, t0, shape, thresh):
+    """Deterministic per-element dropout keep mask.
+
+    Counter-based hash (two rounds of a murmur-style uint32 finalizer) of the
+    NATURAL (t, b, h) coordinates plus a traced seed, so forward and backward
+    kernels regenerate bit-identical masks with no stored residual. ``t0`` is
+    the natural time of the block's row 0 (traced); ``thresh`` compares the
+    top 24 hash bits against round(keep_prob * 2^24).
+    """
+    t = jnp.asarray(t0).astype(jnp.uint32) + jax.lax.broadcasted_iota(
+        jnp.uint32, shape, 0
+    )
+    b = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    hh = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+    x = (
+        (seed ^ jnp.uint32(dir_salt))
+        + t * jnp.uint32(0x9E3779B1)
+        + b * jnp.uint32(0x85EBCA77)
+        + hh * jnp.uint32(0xC2B2AE3D)
+    )
+    for _ in range(2):
+        x = x ^ (x >> jnp.uint32(16))
+        x = x * jnp.uint32(0x7FEB352D)
+        x = x ^ (x >> jnp.uint32(15))
+        x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> jnp.uint32(16))
+    return (x >> jnp.uint32(8)) < jnp.uint32(thresh)
+
+
+def _mk_trainpool_fwd_kernel(n_parts: int, tb: int, T: int, pool: int, H: int,
+                             thresh, inv_keep: float):
+    """Forward kernel of the fused train path (see the section comment)."""
+
+    def kernel(*refs):
+        seed_ref = refs[0]
+        xn = refs[1:1 + n_parts]
+        xr = refs[1 + n_parts:1 + 2 * n_parts]
+        (wihf, bihf, whhf, bhhf,
+         wihb, bihb, whhb, bhhb) = refs[1 + 2 * n_parts:9 + 2 * n_parts]
+        hpf_ref, hpb_ref, pf_ref, pb_ref = refs[9 + 2 * n_parts:13 + 2 * n_parts]
+        hf_ref, hb_ref, gif_ref, gib_ref, bf_ref, bb_ref = refs[13 + 2 * n_parts:]
+        i = pl.program_id(0)
+        nb = pl.num_programs(0)
+        B = hf_ref.shape[0]
+
+        @pl.when(i == 0)
+        def _():
+            hf_ref[:] = jnp.zeros_like(hf_ref)
+            hb_ref[:] = jnp.zeros_like(hb_ref)
+
+        def project(x_refs, wih_ref, bih_ref, gi_ref):
+            xs = [r[:].reshape(tb * B, r.shape[-1]) for r in x_refs]
+            x = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=1)
+            gi_ref[:] = (
+                _mxu(x.astype(wih_ref.dtype), wih_ref[:])
+                + bih_ref[0].astype(jnp.float32)
+            ).reshape(tb, B, 3 * H)
+
+        project(xn, wihf, bihf, gif_ref)
+        project(xr, wihb, bihb, gib_ref)
+
+        def one(gi, h, w_ref, b_ref):
+            gh = (
+                _mxu(h.astype(w_ref.dtype), w_ref[:])
+                + b_ref[0].astype(jnp.float32)
+            )
+            rz = _sigmoid(gi[:, :2 * H] + gh[:, :2 * H])
+            r, z = rz[:, :H], rz[:, H:]
+            n = jnp.tanh(gi[:, 2 * H:] + r * gh[:, 2 * H:])
+            return n + z * (h - n)
+
+        t0f = i * tb
+        t0b = (nb - 1 - i) * tb  # natural t of row 0 of the bwd-dir block
+
+        def step(u, carry):
+            hf, hb = carry
+            # h_prev residuals written straight from the carries: the fwd
+            # direction's previous-step h at natural row u, the bwd
+            # direction's at natural row rb (= h at rb+1; held 0 past T).
+            hpf_ref[u] = hf.astype(hpf_ref.dtype)
+            hf = one(gif_ref[u], hf, whhf, bhhf)
+            rb = tb - 1 - u
+            hpb_ref[rb] = hb.astype(hpb_ref.dtype)
+            hb_new = one(gib_ref[rb], hb, whhb, bhhb)
+            hb = jnp.where(t0b + rb < T, hb_new, hb)
+            bf_ref[u] = hf
+            bb_ref[rb] = hb
+            return hf, hb
+
+        hf, hb = jax.lax.fori_loop(
+            0, tb, step, (hf_ref[:], hb_ref[:]), unroll=_step_unroll(tb)
+        )
+        hf_ref[:] = hf
+        hb_ref[:] = hb
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tb, 1, 1), 0)
+
+        def emit(blk_ref, t0, dir_salt, out_ref):
+            h = blk_ref[:]
+            if thresh is not None:
+                keep = _keep_mask(seed_ref[0], dir_salt, t0, (tb, B, H), thresh)
+                h = jnp.where(keep, h * inv_keep, 0.0)
+            if pool == 1:
+                out_ref[:] = h.astype(out_ref.dtype)
+            else:
+                valid = (t0 + iota) < T
+                hm = jnp.where(valid, h, 0.0)
+                cnt = valid.astype(jnp.float32).reshape(
+                    tb // pool, pool, 1, 1
+                ).sum(axis=1)
+                out = hm.reshape(tb // pool, pool, B, H).sum(axis=1) / (
+                    jnp.maximum(cnt, 1.0)
+                )
+                out_ref[:] = out.astype(out_ref.dtype)
+
+        emit(bf_ref, t0f, _DIR_SALT_F, pf_ref)
+        emit(bb_ref, t0b, _DIR_SALT_B, pb_ref)
+
+    return kernel
+
+
+def _trainpool_fwd_call(parts, seed, wih_f, bih_f, whh_f, bhh_f,
+                        wih_b, bih_b, whh_b, bhh_b, *, tb: int, T: int,
+                        pool: int, drop_p: float):
+    """Returns (hp_f, hp_b, pooled_f, pooled_b); see the section comment."""
+    n_parts = len(parts)
+    Tp, B, _ = parts[0].shape
+    H = whh_f.shape[0]
+    dims = tuple(p.shape[-1] for p in parts)
+    dt = parts[0].dtype
+    N = Tp // tb
+    assert Tp % tb == 0 and tb % pool == 0
+    thresh = None if drop_p <= 0.0 else int(round((1.0 - drop_p) * (1 << 24)))
+    inv_keep = 1.0 / (1.0 - drop_p) if drop_p > 0.0 else 1.0
+
+    def nat(d, blk=None):
+        return pl.BlockSpec(
+            (blk or tb, B, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    def rev(d, blk=None):
+        return pl.BlockSpec(
+            (blk or tb, B, d), lambda i: (N - 1 - i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    to = tb // pool
+    return pl.pallas_call(
+        _mk_trainpool_fwd_kernel(n_parts, tb, T, pool, H, thresh, inv_keep),
+        grid=(N,),
+        in_specs=[smem] + [nat(d) for d in dims] + [rev(d) for d in dims]
+                 + [full] * 8,
+        out_specs=[nat(H), rev(H), nat(H, to), rev(H, to)],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, B, H), dt),
+            jax.ShapeDtypeStruct((Tp, B, H), dt),
+            jax.ShapeDtypeStruct((Tp // pool, B, H), dt),
+            jax.ShapeDtypeStruct((Tp // pool, B, H), dt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((tb, B, 3 * H), jnp.float32),
+            pltpu.VMEM((tb, B, 3 * H), jnp.float32),
+            pltpu.VMEM((tb, B, H), jnp.float32),
+            pltpu.VMEM((tb, B, H), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(seed, *parts, *parts,
+      wih_f.astype(dt), bih_f[None, :], whh_f.astype(dt), bhh_f[None, :],
+      wih_b.astype(dt), bih_b[None, :], whh_b.astype(dt), bhh_b[None, :])
+
+
+def _mk_shared_bwd_kernel(n_parts: int, tb: int, T: int, H: int, dims,
+                          pool: int = 1, thresh=None, inv_keep: float = 1.0):
     """Gradient kernel: fwd-dir grad walks blocks N-1..0 (rows reversed),
     bwd-dir grad walks blocks 0..N-1 (rows natural) — both over the same
-    natural-order streams, no flip copies anywhere."""
+    natural-order streams, no flip copies anywhere.
+
+    Fused-train mode (``pool > 1`` or a dropout ``thresh``): the dy refs are
+    POOLED cotangent blocks; a prologue expands them to full rate in VMEM —
+    dY_full[t] = keep[t] * dY_pool[t//pool] / (inv_keep^-1 * cnt(window)),
+    zeroed past T — with the keep mask regenerated from the traced seed (the
+    first ref) exactly as the forward epilogue generated it."""
+    fused = pool > 1 or thresh is not None
 
     def kernel(*refs):
         k = 0
+        if fused:
+            seed_ref = refs[0]; k = 1
         xr = refs[k:k + n_parts]; k += n_parts   # block N-1-i (fwd-dir grad)
         xn = refs[k:k + n_parts]; k += n_parts   # block i (bwd-dir grad)
         hpf_ref, dyf_ref, hpb_ref, dyb_ref = refs[k:k + 4]; k += 4
@@ -1072,10 +1290,36 @@ def _mk_shared_bwd_kernel(n_parts: int, tb: int, T: int, H: int, dims):
         (dwihf_ref, dbihf_ref, dwhhf_ref, dbhhf_ref,
          dwihb_ref, dbihb_ref, dwhhb_ref, dbhhb_ref) = refs[k:k + 8]; k += 8
         (dhf_ref, dhb_ref, gatesf_ref, gatesb_ref,
-         dgif_ref, dgib_ref) = refs[k:k + 6]
+         dgif_ref, dgib_ref) = refs[k:k + 6]; k += 6
         i = pl.program_id(0)
         nb = pl.num_programs(0)
         B = dhf_ref.shape[0]
+
+        if fused:
+            dyfx_ref, dybx_ref = refs[k:k + 2]
+            iota_t = jax.lax.broadcasted_iota(jnp.int32, (tb, 1, 1), 0)
+
+            def expand(dyp_ref, t0, dir_salt, out_scr):
+                valid = (t0 + iota_t) < T
+                if pool > 1:
+                    cnt = valid.astype(jnp.float32).reshape(
+                        tb // pool, pool, 1, 1
+                    ).sum(axis=1)
+                    d = dyp_ref[:].astype(jnp.float32) / jnp.maximum(cnt, 1.0)
+                    d = jnp.broadcast_to(
+                        d[:, None], (tb // pool, pool, B, H)
+                    ).reshape(tb, B, H)
+                else:
+                    d = dyp_ref[:].astype(jnp.float32)
+                d = jnp.where(valid, d, 0.0)
+                if thresh is not None:
+                    keep = _keep_mask(seed_ref[0], dir_salt, t0, (tb, B, H), thresh)
+                    d = jnp.where(keep, d * inv_keep, 0.0)
+                out_scr[:] = d
+
+            expand(dyf_ref, (nb - 1 - i) * tb, _DIR_SALT_F, dyfx_ref)
+            expand(dyb_ref, i * tb, _DIR_SALT_B, dybx_ref)
+            dyf_ref, dyb_ref = dyfx_ref, dybx_ref
 
         @pl.when(i == 0)
         def _():
@@ -1179,7 +1423,8 @@ def _mk_shared_bwd_kernel(n_parts: int, tb: int, T: int, H: int, dims):
 
 def _shared_bwd_call(parts, hp_f, hp_b, dy_f, dy_b,
                      wih_f, bih_f, whh_f, bhh_f,
-                     wih_b, bih_b, whh_b, bhh_b, *, tb: int, T: int):
+                     wih_b, bih_b, whh_b, bhh_b, *, tb: int, T: int,
+                     pool: int = 1, drop_p: float = 0.0, seed=None):
     n_parts = len(parts)
     Tp, B, _ = parts[0].shape
     H = whh_f.shape[0]
@@ -1188,13 +1433,20 @@ def _shared_bwd_call(parts, hp_f, hp_b, dy_f, dy_b,
     D = sum(dims)
     dt = parts[0].dtype
     N = Tp // tb
+    thresh = None if drop_p <= 0.0 else int(round((1.0 - drop_p) * (1 << 24)))
+    inv_keep = 1.0 / (1.0 - drop_p) if drop_p > 0.0 else 1.0
+    fused = pool > 1 or thresh is not None
+    assert tb % pool == 0
 
-    def nat(d):
-        return pl.BlockSpec((tb, B, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-
-    def rev(d):
+    def nat(d, blk=None):
         return pl.BlockSpec(
-            (tb, B, d), lambda i: (N - 1 - i, 0, 0), memory_space=pltpu.VMEM
+            (blk or tb, B, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    def rev(d, blk=None):
+        return pl.BlockSpec(
+            (blk or tb, B, d), lambda i: (N - 1 - i, 0, 0),
+            memory_space=pltpu.VMEM,
         )
 
     fixed_ih = pl.BlockSpec((D, threeH), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -1207,12 +1459,31 @@ def _shared_bwd_call(parts, hp_f, hp_b, dy_f, dy_b,
         jax.ShapeDtypeStruct((H, threeH), jnp.float32),
         jax.ShapeDtypeStruct((1, threeH), jnp.float32),
     ]
+    to = tb // pool
+    lead = []
+    dy_specs = [rev(H), nat(H)]
+    scratch = [
+        pltpu.VMEM((B, H), jnp.float32),
+        pltpu.VMEM((B, H), jnp.float32),
+        pltpu.VMEM((tb, B, 4 * H), jnp.float32),
+        pltpu.VMEM((tb, B, 4 * H), jnp.float32),
+        pltpu.VMEM((tb, B, 3 * H), jnp.float32),
+        pltpu.VMEM((tb, B, 3 * H), jnp.float32),
+    ]
+    if fused:
+        lead = [seed]
+        dy_specs = [rev(H, to), nat(H, to)]
+        scratch += [
+            pltpu.VMEM((tb, B, H), jnp.float32),
+            pltpu.VMEM((tb, B, H), jnp.float32),
+        ]
     out = pl.pallas_call(
-        _mk_shared_bwd_kernel(n_parts, tb, T, H, dims),
+        _mk_shared_bwd_kernel(n_parts, tb, T, H, dims, pool, thresh, inv_keep),
         grid=(N,),
         in_specs=(
-            [rev(d) for d in dims] + [nat(d) for d in dims]
-            + [rev(H), rev(H), nat(H), nat(H)]
+            ([pl.BlockSpec(memory_space=pltpu.SMEM)] if fused else [])
+            + [rev(d) for d in dims] + [nat(d) for d in dims]
+            + [rev(H), dy_specs[0], nat(H), dy_specs[1]]
             + [full] * 12
         ),
         out_specs=(
@@ -1223,16 +1494,9 @@ def _shared_bwd_call(parts, hp_f, hp_b, dy_f, dy_b,
             [jax.ShapeDtypeStruct((Tp, B, d), dt) for d in dims] * 2
             + grads_shape + grads_shape
         ),
-        scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((tb, B, 4 * H), jnp.float32),
-            pltpu.VMEM((tb, B, 4 * H), jnp.float32),
-            pltpu.VMEM((tb, B, 3 * H), jnp.float32),
-            pltpu.VMEM((tb, B, 3 * H), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=_interpret(),
-    )(*parts, *parts, hp_f, dy_f, hp_b, dy_b,
+    )(*lead, *parts, *parts, hp_f, dy_f, hp_b, dy_b,
       wih_f.astype(dt), wih_f.T.astype(dt), whh_f.astype(dt),
       whh_f.T.astype(dt), bih_f[None, :], bhh_f[None, :],
       wih_b.astype(dt), wih_b.T.astype(dt), whh_b.astype(dt),
@@ -1346,9 +1610,62 @@ def _shared_pooled_core_for(tb_f: int, tb_b: int, T: int, dims: tuple,
     return core
 
 
+def _shared_trainpool_core_for(tb_f: int, tb_b: int, T: int, dims: tuple,
+                               pool: int, drop_p: float):
+    """Custom-VJP core of the fused train path (dropout + ceil-avg-pool).
+
+    Args are ``(seed_f32, *parts, *weights)`` — the uint32 dropout seed rides
+    as a bitcast float32 so the VJP can return an ordinary zero cotangent.
+    Forward returns the pooled, dropped streams; residuals are the h_prev
+    streams the forward kernel wrote directly (no XLA shift pass). Backward
+    feeds the POOLED cotangents straight to the fused backward kernel.
+    """
+    key = ("trainpool", tb_f, tb_b, T, dims, pool, round(float(drop_p), 6))
+    if key in _BIGRU_CACHE:
+        return _BIGRU_CACHE[key]
+    n_parts = len(dims)
+
+    def run(seed_f, *args):
+        seed = jax.lax.bitcast_convert_type(seed_f, jnp.uint32)
+        return _trainpool_fwd_call(
+            args[:n_parts], seed, *args[n_parts:],
+            tb=tb_f, T=T, pool=pool, drop_p=drop_p,
+        )
+
+    @jax.custom_vjp
+    def core(seed_f, *args):
+        _, _, p_f, p_b = run(seed_f, *args)
+        return p_f, p_b
+
+    def _fwd(seed_f, *args):
+        hp_f, hp_b, p_f, p_b = run(seed_f, *args)
+        return (p_f, p_b), (seed_f, args[:n_parts], hp_f, hp_b, args[n_parts:])
+
+    def _bwd(res, dY):
+        seed_f, parts, hp_f, hp_b, weights = res
+        dy_f, dy_b = dY
+        seed = jax.lax.bitcast_convert_type(seed_f, jnp.uint32)
+        outs = _shared_bwd_call(
+            parts, hp_f, hp_b, dy_f, dy_b, *weights,
+            tb=tb_b, T=T, pool=pool, drop_p=drop_p, seed=seed,
+        )
+        dxs = outs[:n_parts]
+        (dwih_f, dbih_f, dwhh_f, dbhh_f,
+         dwih_b, dbih_b, dwhh_b, dbhh_b) = outs[n_parts:]
+        return (jnp.zeros_like(seed_f),) + dxs + (
+            dwih_f, dbih_f[0], dwhh_f, dbhh_f[0],
+            dwih_b, dbih_b[0], dwhh_b, dbhh_b[0],
+        )
+
+    core.defvjp(_fwd, _bwd)
+    _BIGRU_CACHE[key] = core
+    return core
+
+
 def bigru_apply_shared(params, parts, *, time_block: int | None = None,
                        train: bool = False, pool: int = 1,
-                       pool_method: str = "avg"):
+                       pool_method: str = "avg", drop_p: float = 0.0,
+                       drop_seed=None):
     """Shared-stream joint bidirectional GRU over time-major part streams.
 
     ``parts``: tuple of (T, B, Dp) natural-order streams (the previous
@@ -1357,6 +1674,13 @@ def bigru_apply_shared(params, parts, *, time_block: int | None = None,
 
     * ``train=True`` — full-rate (T, B, H) outputs through the custom-VJP
       core (gradients flow; the caller applies dropout/downsample).
+    * ``train=True`` with ``pool > 1``, ``pool_method == "avg"`` and a
+      ``drop_seed`` — the FUSED TRAIN PATH: dropout (rate ``drop_p``, at the
+      full frame rate, exactly the reference's dropout-then-pool order) and
+      the ceil-mode avg pool both run in the kernel epilogue; outputs are
+      (ceil(T/pool), B, H) and ``pooled=True``. The caller must NOT apply
+      dropout or downsample again. ``drop_seed``: (1,) uint32, fresh per
+      layer per step (masks regenerate from it in the backward kernel).
     * ``train=False`` with ``pool > 1`` and an eligible method — the
       ceil-mode downsample fuses into the kernel epilogue and the outputs
       are (ceil(T/pool), B, H); ``pooled=True``. The pooled eval path stays
@@ -1383,6 +1707,16 @@ def bigru_apply_shared(params, parts, *, time_block: int | None = None,
         h_f, h_b = core(*parts, *weights)
         To = -(-T // pool)
         return h_f[:To], h_b[:To], True
+    if (train and drop_seed is not None and pool_method == "avg"
+            and (pool > 1 or drop_p > 0.0)
+            and tb_f % pool == 0 and tb_b % pool == 0):
+        core = _shared_trainpool_core_for(tb_f, tb_b, T, dims, pool, float(drop_p))
+        seed_f = jax.lax.bitcast_convert_type(
+            jnp.asarray(drop_seed, jnp.uint32).reshape(1), jnp.float32
+        )
+        p_f, p_b = core(seed_f, *parts, *weights)
+        To = -(-T // pool)
+        return p_f[:To], p_b[:To], True
     core = _shared_train_core_for(tb_f, tb_b, T, dims)
     h_f, h_b = core(*parts, *weights)
     return h_f[:T], h_b[:T], False
