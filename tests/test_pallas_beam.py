@@ -75,7 +75,9 @@ def test_fused_beam_respects_encoder_mask():
 
 
 def test_routing_gate(monkeypatch):
-    """Env opt-out, frame cap, and VMEM cap all force the scan fallback."""
+    """Env opt-out and the VMEM cap force the scan fallback; long inputs
+    route to the BLOCKED kernel instead of falling back (the round-3
+    512-frame cliff is gone)."""
     from tpu_slu.ops import pallas_beam as pb
 
     arch = Seq2SeqArch(
@@ -85,19 +87,88 @@ def test_routing_gate(monkeypatch):
     )
     monkeypatch.setattr(pb, "gru_pallas_available", lambda: True)
     assert pb.beam_pallas_enabled(arch, 16, n_enc_frames=25)
+    assert pb._fused_mode(arch, 16, 25, 4) == "unrolled"
     monkeypatch.setenv("TPU_SLU_BEAM_FUSED", "0")
     assert not pb.beam_pallas_enabled(arch, 16, n_enc_frames=25)
     monkeypatch.delenv("TPU_SLU_BEAM_FUSED")
-    assert not pb.beam_pallas_enabled(
-        arch, 16, n_enc_frames=pb.MAX_FUSED_FRAMES + 1
+    # past the unroll cap: still fused, via the blocked kernel, as long as
+    # the working set fits VMEM (a narrower decoder here: the flagship
+    # topology's 4.7 MB of weights + >10 MB of 513-frame K/V does not fit,
+    # and correctly routes to the scan)
+    small = Seq2SeqArch(
+        num_labels=98, num_encoder_layers=1, encoder_dim=64,
+        num_decoder_layers=2, decoder_dim=128, key_dim=64, value_dim=128,
+        sos=0, max_decode_len=200,
     )
+    assert pb._fused_mode(small, 4, pb.MAX_UNROLL_FRAMES + 1, 4) == "blocked"
+    assert pb.beam_pallas_enabled(
+        small, 4, n_enc_frames=pb.MAX_UNROLL_FRAMES + 1
+    )
+    assert pb._fused_mode(arch, 4, pb.MAX_UNROLL_FRAMES + 1, 4) is None
     # a batch x frames x beam combination whose VMEM-resident working set
     # cannot fit on-chip routes to the scan instead of failing Mosaic alloc
+    assert pb._fused_mode(arch, 512, 512, 8) is None
     assert not pb.beam_pallas_enabled(
         arch, 512, n_enc_frames=512, beam_width=8
     )
     monkeypatch.setattr(pb, "gru_pallas_available", lambda: False)
     assert not pb.beam_pallas_enabled(arch, 16, n_enc_frames=25)
+
+
+@pytest.mark.parametrize("seed,Bs,W,masked", [(5, 5, 3, False), (6, 4, 4, True)])
+def test_blocked_beam_matches_xla_beam(seed, Bs, W, masked, monkeypatch):
+    """The blocked (online-softmax) kernel flavor == the XLA beam, forced on
+    a short input so interpret mode stays cheap."""
+    from tpu_slu.ops import pallas_beam as pb
+
+    monkeypatch.setattr(pb, "MAX_UNROLL_FRAMES", 0)  # force blocked mode
+    T, U = 6, 8
+    arch, dec, keys, values = _setup(seed, Bs, T, W, U)
+    enc_mask = None
+    if masked:
+        rng = np.random.default_rng(seed)
+        n_frames = rng.integers(2, T + 1, Bs)
+        enc_mask = jnp.asarray(np.arange(T)[None, :] < n_frames[:, None])
+    ref_scores, ref_tokens = _xla_beam(dec, arch, keys, values, Bs, W, U, enc_mask)
+    scores, tokens = pb.beam_decode_pallas(
+        dec, arch, keys, values, W, U, enc_mask=enc_mask
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(ref_scores), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(ref_tokens))
+
+
+def test_blocked_beam_lane_aligned_key_dim(monkeypatch):
+    """key_dim a multiple of 128 forces the mask lane into a NEW lane tile
+    (Kp = Kd + 128) — the padding layout the flagship configs hit."""
+    from tpu_slu.ops import pallas_beam as pb
+
+    monkeypatch.setattr(pb, "MAX_UNROLL_FRAMES", 0)
+    Bs, T, W, U = 3, 5, 2, 6
+    arch, dec, keys, values = _setup(7, Bs, T, W, U, Kd=128)
+    ref_scores, ref_tokens = _xla_beam(dec, arch, keys, values, Bs, W, U)
+    scores, tokens = pb.beam_decode_pallas(dec, arch, keys, values, W, U)
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(ref_scores), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(ref_tokens))
+
+
+def test_blocked_beam_1024_frames():
+    """VERDICT r3 ask #4's done-gate: fused parity at 1024 encoder frames
+    (~164 s of audio at the flagship frame rate), 2x the old cliff."""
+    from tpu_slu.ops import pallas_beam as pb
+
+    Bs, T, W, U = 2, 1024, 2, 4
+    arch, dec, keys, values = _setup(8, Bs, T, W, U, nl=1)
+    assert pb._fused_mode(arch, Bs, T, W) == "blocked"
+    ref_scores, ref_tokens = _xla_beam(dec, arch, keys, values, Bs, W, U)
+    scores, tokens = pb.beam_decode_pallas(dec, arch, keys, values, W, U)
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(ref_scores), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(ref_tokens))
 
 
 def test_fused_beam_single_layer_decoder():

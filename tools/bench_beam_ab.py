@@ -78,6 +78,8 @@ def main():
     ap.add_argument("--max-len", type=int, default=200)
     ap.add_argument("--beam", type=int, default=4)
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--long", action="store_true",
+                    help="also check+time the blocked kernel at 640/1024 frames")
     args = ap.parse_args()
     B, U, W = args.batch, args.max_len, args.beam
 
@@ -124,6 +126,41 @@ def main():
     u_fused = jax.jit(lambda d, k, v: beam_decode_pallas(d, u_arch, k, v, W, 100))
     u_scan = jax.jit(lambda d, k, v: scan_beam(d, u_arch, k, v, B, W, 100))
     ok &= check("unaligned(k100/v200)", u_fused(u_dec, u_k, u_v), u_scan(u_dec, u_k, u_v))
+
+    # ---- long inputs: the BLOCKED kernel flavor (round 4) ------------------
+    if args.long:
+        from tpu_slu.ops.pallas_beam import _fused_mode
+
+        l_arch = Seq2SeqArch(
+            num_labels=98, num_encoder_layers=1, encoder_dim=64,
+            num_decoder_layers=2, decoder_dim=128, key_dim=64, value_dim=128,
+            sos=0, max_decode_len=100,
+        )
+        l_dec = init_seq2seq_params(jax.random.PRNGKey(9), l_arch, 128)["decoder"]
+        Bl = 8
+        for T in (640, 1024):
+            mode = _fused_mode(l_arch, Bl, T, args.beam)
+            l_enc = jnp.asarray(
+                np.random.default_rng(T).standard_normal((Bl, T, 128), np.float32)
+            )
+            l_k, l_v = jax.jit(lambda d, e: attention_kv(d["attention"], e))(l_dec, l_enc)
+            l_fused = jax.jit(
+                lambda d, k, v: beam_decode_pallas(d, l_arch, k, v, args.beam, 100)
+            )
+            l_scan = jax.jit(
+                lambda d, k, v: scan_beam(d, l_arch, k, v, Bl, args.beam, 100)
+            )
+            t0 = time.time()
+            fo = l_fused(l_dec, l_k, l_v)
+            np.asarray(fo[0])
+            print(f"T={T} mode={mode} blocked compile+run {time.time() - t0:.1f}s",
+                  flush=True)
+            ok &= check(f"blocked T={T}", fo, l_scan(l_dec, l_k, l_v))
+            for trial in range(args.trials):
+                f_ms = slope_ms(l_fused, (l_dec, l_k, l_v), iters=30)
+                s_ms = slope_ms(l_scan, (l_dec, l_k, l_v), iters=30)
+                print(f"T={T} trial {trial}: fused {f_ms:.2f} ms  scan {s_ms:.2f} ms  "
+                      f"speedup {s_ms / f_ms:.2f}x", flush=True)
 
     # ---- interleaved timings ------------------------------------------------
     for trial in range(args.trials):
