@@ -333,6 +333,65 @@ def main():
         fallback_metrics.append("encoder_fwd")
     utt_per_s = B / dt
 
+    # Per-program dispatch floor: a noop (8,128) x+1 program, slope-measured
+    # the same way. tools/bench_launch.py + tools/bench_residual.py measured
+    # (2026-08-18) that EVERY queued program execution through this runtime
+    # pays ~100-320 us regardless of content (chains of 1 vs 17 pallas
+    # kernels are identical; a pure-XLA noop pays the same); in good relay
+    # windows it overlaps with device compute, in bad ones it serializes —
+    # which is the minute-scale ±40% swing. See docs/KERNELS.md "Where the
+    # residual lives".
+    noop = jax.jit(lambda t: jnp.sum(t + 1.0))
+    tiny_arg = jnp.zeros((8, 128), jnp.float32)
+    np.asarray(noop(tiny_arg))
+
+    def nrun(k):
+        t0 = time.time()
+        for _ in range(k):
+            out = noop(tiny_arg)
+        np.asarray(out)
+        return time.time() - t0
+
+    nrun(2)
+    nd, fb = robust_slope(nrun, 120, outer=3)
+    dispatch_us = float(nd * 1e6)
+    if fb:
+        fallback_metrics.append("dispatch")
+
+    # Stable DEVICE time per forward: 8 iterations inside ONE program via
+    # lax.scan, inputs generated on device (x scaled per iteration — a
+    # loop-VARIANT body, so XLA cannot hoist it; slicing a stacked HBM
+    # buffer instead costs ~+110 us/iter of materialization). Measured
+    # spread across relay windows is ~±2% (tools/bench_residual.py:
+    # 438-455 us while per-program estimates of the same forward swung
+    # 301-1210), so this is the number that tracks real kernel regressions.
+    K_SCAN = 8
+
+    def _scan_dev(p, xx):
+        def body(acc, i):
+            xi = xx * (1.0 + i.astype(jnp.float32) / K_SCAN)
+            return acc + jnp.sum(enc.encoder_features(
+                p, earch, xi, gru_impl=gru_impl, compute_dtype=compute_dtype
+            )), None
+
+        return jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K_SCAN))[0]
+
+    fwd_scan = jax.jit(_scan_dev)
+    np.asarray(fwd_scan(params, x))
+
+    def srun(k):
+        t0 = time.time()
+        for _ in range(k):
+            out = fwd_scan(params, x)
+        np.asarray(out)
+        return time.time() - t0
+
+    srun(2)
+    sd, fb = robust_slope(srun, 12, outer=3)
+    device_us = float(sd * 1e6 / K_SCAN)
+    if fb:
+        fallback_metrics.append("device_scan")
+
     # p50 decode-path latency: single utterance, encoder + intent head + argmax
     decode = jax.jit(
         lambda p, x: intent_predictions(
@@ -595,6 +654,10 @@ def main():
     # recurrence that is not bandwidth-bound (docs/KERNELS.md ceiling note).
     floors = encoder_unit_floors_us(earch, B, T)
     sol_frac = max(floors.values()) / (dt * 1e6)
+    # device-only fraction: the same floor over the STABLE scan-measured
+    # device time (per-program dispatch amortized 8x and window variance
+    # gone) — the number that isolates kernel quality from relay weather.
+    sol_frac_device = max(floors.values()) / device_us
 
     record = {
         "metric": "fsc_encoder_fwd_utterances_per_sec_per_chip",
@@ -605,6 +668,9 @@ def main():
         "hbm_roofline_frac": round(roofline_frac, 3),
         "achieved_gbps": round(achieved_gbps, 1),
         "sol_frac": round(sol_frac, 3),
+        "sol_frac_device": round(sol_frac_device, 3),
+        "dispatch_us": round(dispatch_us, 1),
+        "device_us_scan8": round(device_us, 1),
         "unit_floors_us": {k: round(v, 1) for k, v in floors.items()},
         "p50_decode_ms": round(p50_ms, 1),
         "decode_device_ms": round(decode_device_ms, 3),

@@ -86,11 +86,26 @@ def build_variants(B=128, seconds=4.0, scan_k=8):
 
     fwd_scan = jax.jit(lambda xs: lax.scan(scan_body, jnp.float32(0.0), xs)[0])
 
+    # Same scan, but inputs GENERATED on device per iteration (x * (1 + i/k))
+    # instead of sliced from a stacked HBM buffer — isolates whether
+    # fwd_scan's extra time is the per-iteration dynamic-slice
+    # materialization or the scan body itself.
+    def _scan_gen(p, xx):
+        def body(acc, i):
+            xi = xx * (1.0 + i.astype(jnp.float32) / scan_k)
+            return acc + jnp.sum(enc.encoder_features(p, earch, xi,
+                                                      gru_impl=gru_impl)), None
+
+        return lax.scan(body, jnp.float32(0.0), jnp.arange(scan_k))[0]
+
+    fwd_scan_gen = jax.jit(_scan_gen)
+
     return {
         "noop": (lambda: noop(tiny_x), 1),
         "tiny": (lambda: tiny(tiny_x), 1),
         "fwd": (lambda: fwd(params, x), 1),
         f"fwd_scan{scan_k}": (lambda: fwd_scan(xs), scan_k),
+        f"fwd_scangen{scan_k}": (lambda: fwd_scan_gen(params, x), scan_k),
     }
 
 
