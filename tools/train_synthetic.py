@@ -179,15 +179,184 @@ def make_asr_dataset(root, n_per_split=96, seed=0):
     return root
 
 
+def make_transfer_dataset(root, n_train, n_valid, n_test, seed=0):
+    """FSC-layout SLU dataset whose audio is composed from the SAME tone
+    inventory as :func:`make_asr_dataset`'s phonemes (0.25 s segments at
+    400 + 450*p Hz, p < 12), so a model pretrained on the synthetic ASR task
+    has genuinely transferable features: each slot value is a fixed 2-segment
+    tone sequence, an utterance is its action/object/location codes back to
+    back. Mirrors the role of FSC-on-LibriSpeech-features in the reference
+    (reference README.md:20-24)."""
+    import pandas as pd
+
+    from tpu_slu.data.audio import write_wav
+
+    slots = {
+        "action": [f"act{i}" for i in range(6)],
+        "object": [f"obj{i}" for i in range(14)],
+        "location": [f"loc{i}" for i in range(4)],
+    }
+    # deterministic distinct (p, q) phoneme-tone pairs per slot value
+    pairs = [(a, b) for a in range(12) for b in range(12) if a != b]
+    codes = {}
+    offset = 0
+    for slot, values in slots.items():
+        for i, v in enumerate(values):
+            codes[(slot, v)] = pairs[offset + i * 3]
+        offset += len(values) * 3
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    os.makedirs(os.path.join(root, "wavs"), exist_ok=True)
+    seg_n = int(0.25 * FS)
+
+    def rows(n, split):
+        out = []
+        for i in range(n):
+            a = slots["action"][rng.integers(6)]
+            o = slots["object"][rng.integers(14)]
+            l = slots["location"][rng.integers(4)]
+            segs = []
+            for s, v in (("action", a), ("object", o), ("location", l)):
+                for p in codes[(s, v)]:
+                    t = np.arange(seg_n) / FS
+                    segs.append(0.3 * np.sin(
+                        2 * np.pi * (400.0 + 450.0 * p) * t + rng.uniform(0, 6.28)
+                    ))
+            x = np.concatenate(segs)
+            x = (x + 0.02 * rng.standard_normal(len(x))).astype(np.float32)
+            rel = f"wavs/{split}_{i}.wav"
+            write_wav(os.path.join(root, rel), x, FS)
+            out.append({"path": rel, "speakerId": f"s{i % 16}",
+                        "transcription": f"{a} {o} {l}",
+                        "action": a, "object": o, "location": l,
+                        "semantics": f"{a[3:]}|{o[3:]}|{l[3:]}"})
+        return pd.DataFrame(out)
+
+    cols = ["path", "speakerId", "transcription", "action", "object", "location"]
+    s2s_cols = ["path", "speakerId", "transcription", "semantics"]
+    for split, n in (("train", n_train), ("valid", n_valid), ("test", n_test)):
+        df = rows(n, split)
+        df[cols].to_csv(os.path.join(root, "data", f"{split}_data.csv"), index=False)
+        df[s2s_cols].to_csv(os.path.join(root, "data", f"{split}_data_seq2seq.csv"), index=False)
+    pd.DataFrame(columns=cols).to_csv(os.path.join(root, "data", "synthetic_data.csv"), index=False)
+    pd.DataFrame(columns=s2s_cols).to_csv(
+        os.path.join(root, "data", "synthetic_data_seq2seq.csv"), index=False)
+    return root
+
+
+def run_transfer(args):
+    """VERDICT r4 dress rehearsal: --pretrain (type 2) -> --train with the
+    unfreeze_word_layers schedule (ULMFiT, unfreezing_type=1) -> --decode,
+    plus a from-scratch control with identical data/epochs. Mirrors the
+    reference's flagship recipe (ref main.py:24-69,
+    experiments/unfreeze_word_layers/)."""
+    import contextlib
+    import io
+
+    from tpu_slu import read_config
+    from tpu_slu.data.audio import read_wav
+    from tpu_slu.data.datasets import get_ASR_datasets, get_SLU_datasets
+    from tpu_slu.models import Model, PretrainedModel
+    from tpu_slu.training.trainer import Trainer
+
+    asr_root = os.path.join(args.workdir, "libri_synth")
+    if not os.path.isdir(os.path.join(asr_root, "text")):
+        print("generating ASR dataset...", flush=True)
+        make_asr_dataset(asr_root)
+    slu_root = os.path.join(args.workdir, "fsc_transfer")
+    if not os.path.isfile(os.path.join(slu_root, "data", "train_data.csv")):
+        print("generating transfer SLU dataset...", flush=True)
+        make_transfer_dataset(slu_root, args.n_train, 256, 256)
+
+    def write_cfg(name, folder, pretraining_type, unfreezing_type):
+        path = os.path.join(args.workdir, f"{name}.cfg")
+        with open(path, "w") as f:
+            f.write(
+                CFG.format(folder=folder, slu_path=slu_root, epochs=args.epochs)
+                .replace("asr_path=unused", f"asr_path={asr_root}")
+                .replace("pretraining_type=0", f"pretraining_type={pretraining_type}")
+                .replace("unfreezing_type=0", f"unfreezing_type={unfreezing_type}")
+                .replace("vocabulary_size=10000", "vocabulary_size=30")
+            )
+        return path
+
+    folder = os.path.join(args.workdir, "transfer_exp")
+    cfg_path = write_cfg("transfer", folder, 2, 1)
+
+    # ---- phase 1: dual-head ASR pretraining (reference main.py:24-38) ----
+    config = read_config(cfg_path)
+    config.pretraining_num_epochs = args.pretrain_epochs
+    np.random.seed(config.seed)
+    pre_train, pre_valid, _ = get_ASR_datasets(config)
+    pre_model = PretrainedModel(config)
+    pre_trainer = Trainer(pre_model, config)
+    for epoch in range(args.pretrain_epochs):
+        with contextlib.redirect_stdout(io.StringIO()):
+            pa, _, wa, _ = pre_trainer.train(pre_train)
+            vpa, _, vwa, _ = pre_trainer.test(pre_valid)
+        print(f"[pretrain] epoch {epoch}: phone acc={pa:.3f}/{vpa:.3f} "
+              f"word acc={wa:.3f}/{vwa:.3f}", flush=True)
+    pre_trainer.save_checkpoint()
+
+    # ---- phase 2: SLU training with the ULMFiT unfreezing schedule -------
+    def train_slu(cfg_path, tag):
+        config = read_config(cfg_path)
+        np.random.seed(config.seed)
+        train, valid, test = get_SLU_datasets(config)
+        model = Model(config)  # loads folder/pretraining when type != 0
+        trainer = Trainer(model, config)
+        for epoch in range(args.epochs):
+            with contextlib.redirect_stdout(io.StringIO()):
+                acc, loss = trainer.train(train)
+                vacc, vloss = trainer.test(valid)
+            print(f"[{tag}] epoch {epoch}: train acc={acc:.3f} "
+                  f"valid acc={vacc:.3f} vloss={vloss:.3f}", flush=True)
+        trainer.save_checkpoint()
+        with contextlib.redirect_stdout(io.StringIO()):
+            tacc, _ = trainer.test(test, log_set="test")
+        print(f"[{tag}] test acc={tacc:.3f}", flush=True)
+        return model, config, tacc
+
+    model, config, transfer_acc = train_slu(cfg_path, "transfer")
+
+    # ---- control: identical data/epochs, no pretraining, no unfreezing ---
+    scratch_folder = os.path.join(args.workdir, "scratch_exp")
+    scratch_cfg = write_cfg("scratch", scratch_folder, 0, 0)
+    s_config = read_config(scratch_cfg)
+    os.makedirs(os.path.join(scratch_folder, "pretraining"), exist_ok=True)
+    import shutil
+    shutil.copy(os.path.join(folder, "pretraining", "phonemes.txt"),
+                os.path.join(scratch_folder, "pretraining", "phonemes.txt"))
+    _, _, scratch_acc = train_slu(scratch_cfg, "scratch")
+
+    # ---- phase 3: decode_intents on a held-out wav (reference README) ----
+    import pandas as pd
+
+    test_df = pd.read_csv(os.path.join(slu_root, "data", "test_data.csv"))
+    wav_rel = test_df.iloc[0]["path"]
+    truth = tuple(test_df.iloc[0][s] for s in ("action", "object", "location"))
+    signal, _ = read_wav(os.path.join(slu_root, wav_rel))
+    intents = model.decode_intents(signal[None, :])
+    print(f"decode_intents({wav_rel}) -> {intents[0]} (truth: {truth})", flush=True)
+    print(f"TRANSFER GAIN: test acc {transfer_acc:.3f} (pretrained+ULMFiT) "
+          f"vs {scratch_acc:.3f} (scratch)", flush=True)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=6)
+    parser.add_argument("--pretrain-epochs", type=int, default=5)
     parser.add_argument("--n-train", type=int, default=2048)
     parser.add_argument("--workdir", type=str, default="/tmp/tpu_slu_synth")
     parser.add_argument("--pretrain", action="store_true",
                         help="run the ASR dual-head pretraining demo instead")
     parser.add_argument("--seq2seq", action="store_true",
                         help="run the seq2seq (char decoder + beam search) demo")
+    parser.add_argument("--transfer", action="store_true",
+                        help="run the full transfer dress rehearsal: "
+                             "pretrain -> ULMFiT SLU train -> decode, plus a "
+                             "from-scratch control")
     parser.add_argument("--restart", action="store_true",
                         help="resume from the phase checkpoint (incl. optimizer state)")
     args = parser.parse_args()
@@ -205,6 +374,10 @@ def main():
     from tpu_slu.training.trainer import Trainer
 
     os.makedirs(args.workdir, exist_ok=True)
+
+    if args.transfer:
+        run_transfer(args)
+        return
 
     if args.pretrain:
         from tpu_slu.data.datasets import get_ASR_datasets
