@@ -75,9 +75,11 @@ def test_fused_beam_respects_encoder_mask():
 
 
 def test_routing_gate(monkeypatch):
-    """Env opt-out and the VMEM cap force the scan fallback; long inputs
-    route to the BLOCKED kernel instead of falling back (the round-3
-    512-frame cliff is gone)."""
+    """Env opt-out and the VMEM cap force the scan fallback; mid-length
+    inputs route to the BLOCKED kernel instead of a slower scan (the
+    round-3 512-frame cliff is gone); past the measured ~768-frame
+    crossover the scan is the FASTEST implementation and routing picks
+    it on purpose (MAX_BLOCKED_FRAMES)."""
     from tpu_slu.ops import pallas_beam as pb
 
     arch = Seq2SeqArch(
@@ -105,6 +107,12 @@ def test_routing_gate(monkeypatch):
         small, 4, n_enc_frames=pb.MAX_UNROLL_FRAMES + 1
     )
     assert pb._fused_mode(arch, 4, pb.MAX_UNROLL_FRAMES + 1, 4) is None
+    # past the measured scan crossover: routed to the scan even though the
+    # kernel could run it (the scan is faster there, not a penalty)
+    assert pb._fused_mode(small, 4, pb.MAX_BLOCKED_FRAMES + 1, 4) is None
+    assert not pb.beam_pallas_enabled(
+        small, 4, n_enc_frames=pb.MAX_BLOCKED_FRAMES + 1
+    )
     # a batch x frames x beam combination whose VMEM-resident working set
     # cannot fit on-chip routes to the scan instead of failing Mosaic alloc
     assert pb._fused_mode(arch, 512, 512, 8) is None
@@ -157,12 +165,14 @@ def test_blocked_beam_lane_aligned_key_dim(monkeypatch):
 
 def test_blocked_beam_1024_frames():
     """VERDICT r3 ask #4's done-gate: fused parity at 1024 encoder frames
-    (~164 s of audio at the flagship frame rate), 2x the old cliff."""
+    (~164 s of audio at the flagship frame rate), 2x the old cliff.
+    Routing sends such inputs to the (measured-faster there) XLA scan,
+    but direct calls exercise the kernel — capability has no T cliff."""
     from tpu_slu.ops import pallas_beam as pb
 
     Bs, T, W, U = 2, 1024, 2, 4
     arch, dec, keys, values = _setup(8, Bs, T, W, U, nl=1)
-    assert pb._fused_mode(arch, Bs, T, W) == "blocked"
+    assert pb._fused_mode(arch, Bs, T, W) is None  # scan wins past 768
     ref_scores, ref_tokens = _xla_beam(dec, arch, keys, values, Bs, W, U)
     scores, tokens = pb.beam_decode_pallas(dec, arch, keys, values, W, U)
     np.testing.assert_allclose(

@@ -7,6 +7,19 @@ AND on an unaligned topology (key_dim=100 / value_dim=200, the reference's
 ``all_real_seq2seq.cfg`` shape) that exercises the host-side lane padding,
 then reports interleaved two-point-slope timings.
 
+Parity methodology (measured 2026-08-18, tools/confirm_beam_precision.py):
+at TPU DEFAULT matmul precision BOTH sides' f32 matmuls run single-pass
+bf16 operands (XLA and in-kernel Mosaic dots alike), whose ~1e-3 rounding
+resolves near-degenerate random-init beam ties differently per op order —
+13.2% token flips on the random-init unaligned case, while the flagship
+(realistic encoder distributions) is token-exact. So: the flagship check
+compares both sides at DEFAULT (the production configuration), and the
+random-init cases (unaligned, blocked long-T) compare both sides traced
+under jax.default_matmul_precision("float32"), where parity is exact
+(0/6400, |score diff| <= 3e-5). NB the precision context is consulted at
+TRACE time — jitted fns must be CALLED inside the block. Timings keep
+DEFAULT precision (the production path).
+
 Usage: python tools/bench_beam_ab.py [--batch 16] [--max-len 200] [--trials 3]
 """
 
@@ -123,9 +136,14 @@ def main():
     u_dec = init_seq2seq_params(jax.random.PRNGKey(7), u_arch, 256)["decoder"]
     u_enc = jnp.asarray(np.random.default_rng(7).standard_normal((B, 25, 256), np.float32))
     u_k, u_v = jax.jit(lambda d, e: attention_kv(d["attention"], e))(u_dec, u_enc)
-    u_fused = jax.jit(lambda d, k, v: beam_decode_pallas(d, u_arch, k, v, W, 100))
-    u_scan = jax.jit(lambda d, k, v: scan_beam(d, u_arch, k, v, B, W, 100))
-    ok &= check("unaligned(k100/v200)", u_fused(u_dec, u_k, u_v), u_scan(u_dec, u_k, u_v))
+    with jax.default_matmul_precision("float32"):
+        u_fused_out = jax.jit(
+            lambda d, k, v: beam_decode_pallas(d, u_arch, k, v, W, 100)
+        )(u_dec, u_k, u_v)
+        u_scan_out = jax.jit(
+            lambda d, k, v: scan_beam(d, u_arch, k, v, B, W, 100)
+        )(u_dec, u_k, u_v)
+    ok &= check("unaligned(k100/v200)@f32", u_fused_out, u_scan_out)
 
     # ---- long inputs: the BLOCKED kernel flavor (round 4) ------------------
     if args.long:
@@ -150,12 +168,20 @@ def main():
             l_scan = jax.jit(
                 lambda d, k, v: scan_beam(d, l_arch, k, v, Bl, args.beam, 100)
             )
+            with jax.default_matmul_precision("float32"):
+                l_fused_f32_out = jax.jit(
+                    lambda d, k, v: beam_decode_pallas(
+                        d, l_arch, k, v, args.beam, 100)
+                )(l_dec, l_k, l_v)
+                l_scan_f32_out = jax.jit(
+                    lambda d, k, v: scan_beam(d, l_arch, k, v, Bl, args.beam, 100)
+                )(l_dec, l_k, l_v)
             t0 = time.time()
             fo = l_fused(l_dec, l_k, l_v)
             np.asarray(fo[0])
             print(f"T={T} mode={mode} blocked compile+run {time.time() - t0:.1f}s",
                   flush=True)
-            ok &= check(f"blocked T={T}", fo, l_scan(l_dec, l_k, l_v))
+            ok &= check(f"blocked T={T}@f32", l_fused_f32_out, l_scan_f32_out)
             for trial in range(args.trials):
                 f_ms = slope_ms(l_fused, (l_dec, l_k, l_v), iters=30)
                 s_ms = slope_ms(l_scan, (l_dec, l_k, l_v), iters=30)

@@ -55,9 +55,19 @@ NEG = -1e30  # additive mask value; avoids inf-inf NaNs in the softmaxes
 # an online-softmax (flash-attention-style) lax.fori_loop over frame blocks,
 # so the step body's code size is T-independent and K/V are stored once per
 # batch element instead of once per (beam, batch) row. The old hard
-# MAX_FUSED_FRAMES=512 cliff (silent fallback to the 2.9x slower XLA scan,
-# VERDICT r3) is gone; the only remaining fallback is VMEM overflow.
+# MAX_FUSED_FRAMES=512 cliff (fallback to a scan that is 2.9x SLOWER at
+# command lengths, VERDICT r3) is gone.
 MAX_UNROLL_FRAMES = 512
+
+# Routing crossover for the blocked mode, set by hardware measurement
+# (tools/bench_beam_ab.py --long, v5e, 2026-08-18): per-frame attention in
+# the kernel is VPU/issue-bound, so its cost grows linearly with T while
+# the XLA scan's attention rides batched MXU matmuls — fused/scan is
+# 1.07x at T=640 but 0.75x at T=1024. Past this many frames the scan IS
+# the fastest implementation, so routing there is the optimization, not a
+# fallback penalty. The kernel itself stays correct at any T that fits
+# VMEM (parity pinned at 1024 in tests/test_pallas_beam.py).
+MAX_BLOCKED_FRAMES = 768
 
 # Frame-block width of the blocked attention loop. 128 keeps the unrolled
 # inner body small (compile time) and is the lane-tile quantum.
@@ -95,11 +105,15 @@ def _fused_vmem_bytes(arch, batch_size: int, n_enc_frames: int,
 def _fused_mode(arch, batch_size: int, n_enc_frames: int,
                 beam_width: int) -> str | None:
     """Pick the kernel flavor for this shape: ``"unrolled"`` (short inputs,
-    beam-tiled full-width frame ops), ``"blocked"`` (long inputs, online
-    softmax over frame blocks), or ``None`` (working set exceeds VMEM —
-    fall back to the XLA scan)."""
+    beam-tiled full-width frame ops), ``"blocked"`` (mid-length inputs,
+    online softmax over frame blocks), or ``None`` (the XLA scan wins:
+    either the working set exceeds VMEM or the input is long enough that
+    the scan's MXU attention beats the kernel's per-frame VPU attention —
+    see ``MAX_BLOCKED_FRAMES``)."""
     for mode in ("unrolled", "blocked"):
         if mode == "unrolled" and n_enc_frames > MAX_UNROLL_FRAMES:
+            continue
+        if mode == "blocked" and n_enc_frames > MAX_BLOCKED_FRAMES:
             continue
         if _fused_vmem_bytes(arch, batch_size, n_enc_frames, beam_width,
                              mode) <= MAX_FUSED_VMEM_BYTES:
@@ -115,9 +129,10 @@ def beam_pallas_enabled(arch, batch_size: int, n_enc_frames: int | None = None,
     projection widths are supported (non-lane-aligned dims — e.g. the
     reference's ``all_real_seq2seq.cfg`` key_dim=100 / value_dim=200 — are
     zero-padded to 128 multiples host-side, which is numerically exact:
-    see :func:`beam_decode_pallas`). Falls back to the XLA scan only when
-    the VMEM-resident working set would not fit on-chip in either kernel
-    mode (see :func:`_fused_mode`).
+    see :func:`beam_decode_pallas`). Routes to the XLA scan when the
+    VMEM-resident working set would not fit on-chip in either kernel mode,
+    or past the measured ~768-frame crossover where the scan's MXU
+    attention overtakes the kernel (see :func:`_fused_mode`).
     """
     if os.environ.get("TPU_SLU_BEAM_FUSED", "1") == "0":
         return False
@@ -200,7 +215,11 @@ def _mk_beam_kernel(W: int, BsP: int, nl: int, T: int, U: int,
             if blocked:
                 # Online softmax over frame blocks (flash-attention
                 # recurrence): K/V live once per batch element as
-                # (Tp, BsP, .) and are beam-tiled in-register per frame.
+                # (Tp, BsP, .) and broadcast against the beam dim
+                # in-register per frame — the running state is carried
+                # beam-major 3D (W, BsP, .) so no W-way concatenate copies
+                # are ever materialized (a leading-dim reshape of the
+                # beam-major (R, .) rows is layout-free on TPU).
                 # The time mask is FOLDED INTO K: the host writes an extra
                 # key lane (index kd_true) that is 0 on valid frames and
                 # NEG on masked/padded ones, and pins q's matching lane to
@@ -208,32 +227,32 @@ def _mk_beam_kernel(W: int, BsP: int, nl: int, T: int, U: int,
                 # sc ~ NEG*rsqrt_kd and exp to 0, with no (R, Tp) mask
                 # array and no dynamic lane slicing anywhere.
                 Vp_ = v_ref.shape[-1]
+                Kp_ = k_ref.shape[-1]
+                q3 = q.reshape(W, BsP, Kp_)
 
                 def ablk(blk, carry):
                     m, s, c = carry
                     for j in range(fb):
                         t = blk * fb + j
-                        kt = k_ref[pl.ds(t, 1)].reshape(BsP, k_ref.shape[-1])
-                        vt = v_ref[pl.ds(t, 1)].reshape(BsP, Vp_)
-                        ktf = jnp.concatenate([kt] * W, axis=0)
-                        vtf = jnp.concatenate([vt] * W, axis=0)
-                        sc = jnp.sum(q * ktf, axis=1, keepdims=True) * rsqrt_kd
+                        kt = k_ref[pl.ds(t, 1)]  # (1, BsP, Kp)
+                        vt = v_ref[pl.ds(t, 1)]  # (1, BsP, Vp)
+                        sc = jnp.sum(q3 * kt, axis=2, keepdims=True) * rsqrt_kd
                         m_new = jnp.maximum(m, sc)
                         alpha = jnp.exp(m - m_new)
                         p = jnp.exp(sc - m_new)
                         s = s * alpha + p
-                        c = c * alpha + p * vtf
+                        c = c * alpha + p * vt
                         m = m_new
                     return m, s, c
 
                 n_blk = -(-T // fb)  # host pads frames to a multiple of fb
-                m0 = jnp.full((R, 1), NEG, jnp.float32)
+                m0 = jnp.full((W, BsP, 1), NEG, jnp.float32)
                 _, s_den, c_acc = lax.fori_loop(
                     0, n_blk, ablk,
-                    (m0, jnp.zeros((R, 1), jnp.float32),
-                     jnp.zeros((R, Vp_), jnp.float32)),
+                    (m0, jnp.zeros((W, BsP, 1), jnp.float32),
+                     jnp.zeros((W, BsP, Vp_), jnp.float32)),
                 )
-                ctx = c_acc / s_den
+                ctx = (c_acc / s_den).reshape(R, Vp_)
             else:
                 att = tmask_ref[:]  # (R, Tp) additive: 0 valid, NEG masked/pad
                 lane_T = lax.broadcasted_iota(jnp.int32, att.shape, 1).astype(jnp.float32)
