@@ -263,7 +263,7 @@ def run_transfer(args):
     asr_root = os.path.join(args.workdir, "libri_synth")
     if not os.path.isdir(os.path.join(asr_root, "text")):
         print("generating ASR dataset...", flush=True)
-        make_asr_dataset(asr_root)
+        make_asr_dataset(asr_root, n_per_split=args.n_asr)
     slu_root = os.path.join(args.workdir, "fsc_transfer")
     if not os.path.isfile(os.path.join(slu_root, "data", "train_data.csv")):
         print("generating transfer SLU dataset...", flush=True)
@@ -342,12 +342,50 @@ def run_transfer(args):
     print(f"TRANSFER GAIN: test acc {transfer_acc:.3f} (pretrained+ULMFiT) "
           f"vs {scratch_acc:.3f} (scratch)", flush=True)
 
+    # ---- artifact capture (committed as experiments/demo_synthetic_transfer)
+    if args.out_dir:
+        import json
+        import shutil
+
+        import jax
+
+        os.makedirs(args.out_dir, exist_ok=True)
+        shutil.copy(os.path.join(folder, "pretraining", "log.csv"),
+                    os.path.join(args.out_dir, "pretraining_log.csv"))
+        shutil.copy(os.path.join(folder, "training", "log.csv"),
+                    os.path.join(args.out_dir, "training_log.csv"))
+        shutil.copy(os.path.join(scratch_folder, "training", "log.csv"),
+                    os.path.join(args.out_dir, "scratch_training_log.csv"))
+        shutil.copy(cfg_path, os.path.join(args.out_dir, "transfer.cfg"))
+        shutil.copy(scratch_cfg, os.path.join(args.out_dir, "scratch.cfg"))
+        summary = {
+            "device": str(jax.devices()[0]),
+            "n_train": args.n_train,
+            "epochs": args.epochs,
+            "pretrain_epochs": args.pretrain_epochs,
+            "transfer_test_acc": round(float(transfer_acc), 4),
+            "scratch_test_acc": round(float(scratch_acc), 4),
+            "decode_example": {
+                "wav": wav_rel,
+                "predicted": list(intents[0]),
+                "truth": list(truth),
+            },
+        }
+        with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"artifacts -> {args.out_dir}", flush=True)
+
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=6)
     parser.add_argument("--pretrain-epochs", type=int, default=5)
     parser.add_argument("--n-train", type=int, default=2048)
+    parser.add_argument("--n-asr", type=int, default=96,
+                        help="ASR pretraining utterances per split (--transfer)")
+    parser.add_argument("--out-dir", type=str, default="",
+                        help="copy --transfer artifacts (log.csvs, cfgs, "
+                             "summary.json) here when done")
     parser.add_argument("--workdir", type=str, default="/tmp/tpu_slu_synth")
     parser.add_argument("--pretrain", action="store_true",
                         help="run the ASR dual-head pretraining demo instead")
