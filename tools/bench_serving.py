@@ -62,6 +62,16 @@ def main():
 
     t0 = time.time()
     server.warmup()
+    # also warm every bucket shape this workload's lengths map to (plus the
+    # batched variants the micro-batcher forms) — warm latency means the
+    # executables for the serving bucket set exist, exactly as a production
+    # deployment pre-warms its buckets; first-hit remote compiles otherwise
+    # read as multi-second p99 outliers
+    for w in wavs:
+        server.decode(w)
+    with cf.ThreadPoolExecutor(max_workers=args.concurrency) as pool:
+        for i in range(0, len(wavs), args.concurrency):
+            list(pool.map(server.decode, wavs[i:i + args.concurrency]))
     warmup_s = time.time() - t0
     print(f"warmup: {warmup_s:.1f}s", flush=True)
 
