@@ -96,6 +96,26 @@ def _sigmoid(x):
     return 0.5 + 0.5 * jnp.tanh(0.5 * x)
 
 
+def _vmem_params():
+    """Raise Mosaic's scoped-VMEM limit (default 16 MB) for these kernels.
+
+    The shared bidirectional backward kernel's working set (double-buffered
+    part/h_prev/dY streams + gates and dgi scratch) measures 16.08 MB at
+    the flagship tb=16/B=64/H=128/D=256 shape — right AT the default limit,
+    so whether a given jit compiled depended on surrounding-program
+    scheduling noise: the ASR pretraining step OOM'd at some bucket lengths
+    (T≈1400 samples -> Tp=176 word-layer blocks) while the identical kernel
+    standalone, and the same train step at other bucket lengths, compiled
+    fine. 32 MB gives deterministic headroom; v5e VMEM is 128 MB and the
+    limit only bounds the allocator — it reserves nothing, and generated
+    code is unchanged (verified: same train_step_ms in bench after the
+    change).
+    """
+    if _interpret():
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+
+
 def _step_unroll(tb: int) -> int:
     """Unroll factor for the serial step loops. Mosaic supports 1 or full
     unroll only; full unroll hands the scheduler every step of both
@@ -161,6 +181,7 @@ def _fused1_fwd_call(x, wih, bih, whh, bhh, tb: int):
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((tb, B, 3 * H), jnp.float32),
         ],
+        compiler_params=_vmem_params(),
         interpret=_interpret(),
     )(x, wih.astype(dt), bih[None, :], whh.astype(dt), bhh[None, :])
 
@@ -254,6 +275,7 @@ def _fused1_bwd_call(x, hp, dy, wih, bih, whh, bhh, tb: int):
             pltpu.VMEM((tb, B, 4 * H), jnp.float32),
             pltpu.VMEM((tb, B, 3 * H), jnp.float32),
         ],
+        compiler_params=_vmem_params(),
         interpret=_interpret(),
     )(x, hp, dy,
       wih.astype(dt), wih.T.astype(dt), bih[None, :],
@@ -368,6 +390,7 @@ def _fused_fwd_call(x_f, x_b, wih_f, bih_f, whh_f, bhh_f,
             pltpu.VMEM((tb, B, 3 * H), jnp.float32),
             pltpu.VMEM((tb, B, 3 * H), jnp.float32),
         ],
+        compiler_params=_vmem_params(),
         interpret=_interpret(),
     )(x_f, x_b,
       wih_f.astype(dt), bih_f[None, :], whh_f.astype(dt), bhh_f[None, :],
@@ -519,6 +542,7 @@ def _fused_bwd_call(x_f, x_b, hp_f, hp_b, dy_f, dy_b,
             pltpu.VMEM((tb, B, 3 * H), jnp.float32),
             pltpu.VMEM((tb, B, 3 * H), jnp.float32),
         ],
+        compiler_params=_vmem_params(),
         interpret=_interpret(),
     )(x_f, x_b, hp_f, hp_b, dy_f, dy_b,
       wih_f.astype(dt), wih_f.T.astype(dt), bih_f[None, :],
@@ -1027,6 +1051,7 @@ def _shared_fwd_call(parts, wih_f, bih_f, whh_f, bhh_f,
             out_specs=[out_f, out_b],
             out_shape=[jax.ShapeDtypeStruct((Tp // pool, B, H), dt)] * 2,
             scratch_shapes=scratch,
+            compiler_params=_vmem_params(),
             interpret=_interpret(),
         )(*parts, *parts,
           wih_f.astype(dt), bih_aug_f[None, :], whh_f.astype(dt), bhh_f[None, 2 * H:],
@@ -1049,6 +1074,7 @@ def _shared_fwd_call(parts, wih_f, bih_f, whh_f, bhh_f,
         out_specs=[out_f, out_b],
         out_shape=[jax.ShapeDtypeStruct((Tp // pool, B, H), dt)] * 2,
         scratch_shapes=scratch,
+        compiler_params=_vmem_params(),
         interpret=_interpret(),
     )(*parts, *parts,
       wih_f.astype(dt), bih_f[None, :], whh_f.astype(dt), bhh_f[None, :],
@@ -1257,6 +1283,7 @@ def _trainpool_fwd_call(parts, seed, wih_f, bih_f, whh_f, bhh_f,
             pltpu.VMEM((tb, B, H), jnp.float32),
             pltpu.VMEM((tb, B, H), jnp.float32),
         ],
+        compiler_params=_vmem_params(),
         interpret=_interpret(),
     )(seed, *parts, *parts,
       wih_f.astype(dt), bih_f[None, :], whh_f.astype(dt), bhh_f[None, :],
@@ -1495,6 +1522,7 @@ def _shared_bwd_call(parts, hp_f, hp_b, dy_f, dy_b,
             + grads_shape + grads_shape
         ),
         scratch_shapes=scratch,
+        compiler_params=_vmem_params(),
         interpret=_interpret(),
     )(*lead, *parts, *parts, hp_f, dy_f, hp_b, dy_b,
       wih_f.astype(dt), wih_f.T.astype(dt), whh_f.astype(dt),
