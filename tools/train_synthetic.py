@@ -245,46 +245,38 @@ def make_transfer_dataset(root, n_train, n_valid, n_test, seed=0):
     return root
 
 
-def run_transfer(args):
-    """VERDICT r4 dress rehearsal: --pretrain (type 2) -> --train with the
-    unfreeze_word_layers schedule (ULMFiT, unfreezing_type=1) -> --decode,
-    plus a from-scratch control with identical data/epochs. Mirrors the
-    reference's flagship recipe (ref main.py:24-69,
-    experiments/unfreeze_word_layers/)."""
+def _write_cfg(args, asr_root, slu_root, name, folder, pretraining_type,
+               unfreezing_type, wording_paths=None):
+    """Emit a flagship-topology cfg variant into the workdir."""
+    path = os.path.join(args.workdir, f"{name}.cfg")
+    text = (
+        CFG.format(folder=folder, slu_path=slu_root, epochs=args.epochs)
+        .replace("asr_path=unused", f"asr_path={asr_root}")
+        .replace("pretraining_type=0", f"pretraining_type={pretraining_type}")
+        .replace("unfreezing_type=0", f"unfreezing_type={unfreezing_type}")
+        .replace("vocabulary_size=10000", "vocabulary_size=30")
+    )
+    if wording_paths is not None:
+        train_wp, test_wp = wording_paths
+        text = (text
+                .replace("train_wording_path=None", f"train_wording_path={train_wp}")
+                .replace("test_wording_path=None", f"test_wording_path={test_wp}"))
+    with open(path, "w") as f:
+        f.write(text)
+    return path
+
+
+def _pretrain_phase(args, cfg_path):
+    """Dual-head ASR pretraining (reference main.py:24-38); checkpoints to
+    <folder>/pretraining/."""
     import contextlib
     import io
 
     from tpu_slu import read_config
-    from tpu_slu.data.audio import read_wav
-    from tpu_slu.data.datasets import get_ASR_datasets, get_SLU_datasets
-    from tpu_slu.models import Model, PretrainedModel
+    from tpu_slu.data.datasets import get_ASR_datasets
+    from tpu_slu.models import PretrainedModel
     from tpu_slu.training.trainer import Trainer
 
-    asr_root = os.path.join(args.workdir, "libri_synth")
-    if not os.path.isdir(os.path.join(asr_root, "text")):
-        print("generating ASR dataset...", flush=True)
-        make_asr_dataset(asr_root, n_per_split=args.n_asr)
-    slu_root = os.path.join(args.workdir, "fsc_transfer")
-    if not os.path.isfile(os.path.join(slu_root, "data", "train_data.csv")):
-        print("generating transfer SLU dataset...", flush=True)
-        make_transfer_dataset(slu_root, args.n_train, 256, 256)
-
-    def write_cfg(name, folder, pretraining_type, unfreezing_type):
-        path = os.path.join(args.workdir, f"{name}.cfg")
-        with open(path, "w") as f:
-            f.write(
-                CFG.format(folder=folder, slu_path=slu_root, epochs=args.epochs)
-                .replace("asr_path=unused", f"asr_path={asr_root}")
-                .replace("pretraining_type=0", f"pretraining_type={pretraining_type}")
-                .replace("unfreezing_type=0", f"unfreezing_type={unfreezing_type}")
-                .replace("vocabulary_size=10000", "vocabulary_size=30")
-            )
-        return path
-
-    folder = os.path.join(args.workdir, "transfer_exp")
-    cfg_path = write_cfg("transfer", folder, 2, 1)
-
-    # ---- phase 1: dual-head ASR pretraining (reference main.py:24-38) ----
     config = read_config(cfg_path)
     config.pretraining_num_epochs = args.pretrain_epochs
     np.random.seed(config.seed)
@@ -299,36 +291,71 @@ def run_transfer(args):
               f"word acc={wa:.3f}/{vwa:.3f}", flush=True)
     pre_trainer.save_checkpoint()
 
-    # ---- phase 2: SLU training with the ULMFiT unfreezing schedule -------
-    def train_slu(cfg_path, tag):
-        config = read_config(cfg_path)
-        np.random.seed(config.seed)
-        train, valid, test = get_SLU_datasets(config)
-        model = Model(config)  # loads folder/pretraining when type != 0
-        trainer = Trainer(model, config)
-        for epoch in range(args.epochs):
-            with contextlib.redirect_stdout(io.StringIO()):
-                acc, loss = trainer.train(train)
-                vacc, vloss = trainer.test(valid)
-            print(f"[{tag}] epoch {epoch}: train acc={acc:.3f} "
-                  f"valid acc={vacc:.3f} vloss={vloss:.3f}", flush=True)
-        trainer.save_checkpoint()
-        with contextlib.redirect_stdout(io.StringIO()):
-            tacc, _ = trainer.test(test, log_set="test")
-        print(f"[{tag}] test acc={tacc:.3f}", flush=True)
-        return model, config, tacc
 
-    model, config, transfer_acc = train_slu(cfg_path, "transfer")
+def _train_slu_phase(cfg_path, tag, epochs):
+    """SLU training run (loads <folder>/pretraining when pretraining_type
+    != 0); returns (model, config, test_acc)."""
+    import contextlib
+    import io
+
+    from tpu_slu import read_config
+    from tpu_slu.data.datasets import get_SLU_datasets
+    from tpu_slu.models import Model
+    from tpu_slu.training.trainer import Trainer
+
+    config = read_config(cfg_path)
+    np.random.seed(config.seed)
+    train, valid, test = get_SLU_datasets(config)
+    model = Model(config)
+    trainer = Trainer(model, config)
+    for epoch in range(epochs):
+        with contextlib.redirect_stdout(io.StringIO()):
+            acc, loss = trainer.train(train)
+            vacc, vloss = trainer.test(valid)
+        print(f"[{tag}] epoch {epoch}: train acc={acc:.3f} "
+              f"valid acc={vacc:.3f} vloss={vloss:.3f}", flush=True)
+    trainer.save_checkpoint()
+    with contextlib.redirect_stdout(io.StringIO()):
+        tacc, _ = trainer.test(test, log_set="test")
+    print(f"[{tag}] test acc={tacc:.3f}", flush=True)
+    return model, config, tacc
+
+
+def run_transfer(args):
+    """VERDICT r4 dress rehearsal: --pretrain (type 2) -> --train with the
+    unfreeze_word_layers schedule (ULMFiT, unfreezing_type=1) -> --decode,
+    plus a from-scratch control with identical data/epochs. Mirrors the
+    reference's flagship recipe (ref main.py:24-69,
+    experiments/unfreeze_word_layers/)."""
+    from tpu_slu.data.audio import read_wav
+
+    asr_root = os.path.join(args.workdir, "libri_synth")
+    if not os.path.isdir(os.path.join(asr_root, "text")):
+        print("generating ASR dataset...", flush=True)
+        make_asr_dataset(asr_root, n_per_split=args.n_asr)
+    slu_root = os.path.join(args.workdir, "fsc_transfer")
+    if not os.path.isfile(os.path.join(slu_root, "data", "train_data.csv")):
+        print("generating transfer SLU dataset...", flush=True)
+        make_transfer_dataset(slu_root, args.n_train, 256, 256)
+
+    folder = os.path.join(args.workdir, "transfer_exp")
+    cfg_path = _write_cfg(args, asr_root, slu_root, "transfer", folder, 2, 1)
+
+    # ---- phase 1: dual-head ASR pretraining (reference main.py:24-38) ----
+    _pretrain_phase(args, cfg_path)
+
+    # ---- phase 2: SLU training with the ULMFiT unfreezing schedule -------
+    model, config, transfer_acc = _train_slu_phase(cfg_path, "transfer", args.epochs)
 
     # ---- control: identical data/epochs, no pretraining, no unfreezing ---
     scratch_folder = os.path.join(args.workdir, "scratch_exp")
-    scratch_cfg = write_cfg("scratch", scratch_folder, 0, 0)
-    s_config = read_config(scratch_cfg)
+    scratch_cfg = _write_cfg(args, asr_root, slu_root, "scratch",
+                             scratch_folder, 0, 0)
     os.makedirs(os.path.join(scratch_folder, "pretraining"), exist_ok=True)
     import shutil
     shutil.copy(os.path.join(folder, "pretraining", "phonemes.txt"),
                 os.path.join(scratch_folder, "pretraining", "phonemes.txt"))
-    _, _, scratch_acc = train_slu(scratch_cfg, "scratch")
+    _, _, scratch_acc = _train_slu_phase(scratch_cfg, "scratch", args.epochs)
 
     # ---- phase 3: decode_intents on a held-out wav (reference README) ----
     import pandas as pd
@@ -376,6 +403,156 @@ def run_transfer(args):
         print(f"artifacts -> {args.out_dir}", flush=True)
 
 
+def run_wordings(args):
+    """Limited-wordings ablation (reference experiments/
+    {unfreeze_word_layers,no_pretraining}_limited_wordings, ref data.py
+    wording filters): train on a 60% subset of distinct wordings, evaluate
+    ONLY on held-out wordings, pretrained+ULMFiT vs from-scratch. Mirrors
+    the reference's generalization headline (0.9828 vs 0.5217 unseen-wording
+    valid acc) on the synthetic transfer task. Reuses the --transfer
+    pretraining checkpoint when present (same encoder task)."""
+    import shutil
+
+    import pandas as pd
+
+    asr_root = os.path.join(args.workdir, "libri_synth")
+    if not os.path.isdir(os.path.join(asr_root, "text")):
+        print("generating ASR dataset...", flush=True)
+        make_asr_dataset(asr_root, n_per_split=args.n_asr)
+    slu_root = os.path.join(args.workdir, "fsc_transfer")
+    if not os.path.isfile(os.path.join(slu_root, "data", "train_data.csv")):
+        print("generating transfer SLU dataset...", flush=True)
+        make_transfer_dataset(slu_root, args.n_train, 256, 256)
+
+    # Wording split: 60% of the distinct train transcriptions are "seen";
+    # valid/test keep only rows with held-out wordings (the filter path at
+    # data/datasets.py, mirroring ref data.py:211-223).
+    train_df = pd.read_csv(os.path.join(slu_root, "data", "train_data.csv"))
+    wordings = sorted(train_df.transcription.unique())
+    rng = np.random.default_rng(7)
+    rng.shuffle(wordings)
+    n_seen = int(0.6 * len(wordings))
+    seen, unseen = wordings[:n_seen], wordings[n_seen:]
+    train_wp = os.path.join(args.workdir, "train_wordings.txt")
+    test_wp = os.path.join(args.workdir, "test_wordings.txt")
+    with open(train_wp, "w") as f:
+        f.write("\n".join(seen) + "\n")
+    with open(test_wp, "w") as f:
+        f.write("\n".join(unseen) + "\n")
+    print(f"wordings: {len(seen)} seen / {len(unseen)} held out", flush=True)
+
+    # Pretraining: reuse the --transfer checkpoint (identical encoder task)
+    # or produce it now.
+    src_pre = os.path.join(args.workdir, "transfer_exp", "pretraining")
+    if not os.path.isfile(os.path.join(src_pre, "model_state.npz")):
+        t_cfg = _write_cfg(args, asr_root, slu_root, "transfer",
+                           os.path.join(args.workdir, "transfer_exp"), 2, 1)
+        _pretrain_phase(args, t_cfg)
+
+    folder = os.path.join(args.workdir, "wordings_exp")
+    cfg_path = _write_cfg(args, asr_root, slu_root, "wordings", folder, 2, 1,
+                          wording_paths=(train_wp, test_wp))
+    shutil.copytree(src_pre, os.path.join(folder, "pretraining"),
+                    dirs_exist_ok=True)
+    _, _, w_transfer_acc = _train_slu_phase(cfg_path, "wordings-transfer",
+                                            args.epochs)
+
+    scratch_folder = os.path.join(args.workdir, "wordings_scratch_exp")
+    scratch_cfg = _write_cfg(args, asr_root, slu_root, "wordings_scratch",
+                             scratch_folder, 0, 0,
+                             wording_paths=(train_wp, test_wp))
+    os.makedirs(os.path.join(scratch_folder, "pretraining"), exist_ok=True)
+    shutil.copy(os.path.join(src_pre, "phonemes.txt"),
+                os.path.join(scratch_folder, "pretraining", "phonemes.txt"))
+    _, _, w_scratch_acc = _train_slu_phase(scratch_cfg, "wordings-scratch",
+                                           args.epochs)
+
+    print(f"UNSEEN-WORDING GAIN: test acc {w_transfer_acc:.3f} "
+          f"(pretrained+ULMFiT) vs {w_scratch_acc:.3f} (scratch)", flush=True)
+
+    if args.out_dir:
+        import json
+
+        import jax
+
+        os.makedirs(args.out_dir, exist_ok=True)
+        shutil.copy(os.path.join(folder, "training", "log.csv"),
+                    os.path.join(args.out_dir, "training_log.csv"))
+        shutil.copy(os.path.join(scratch_folder, "training", "log.csv"),
+                    os.path.join(args.out_dir, "scratch_training_log.csv"))
+        shutil.copy(cfg_path, os.path.join(args.out_dir, "wordings.cfg"))
+        shutil.copy(scratch_cfg, os.path.join(args.out_dir, "wordings_scratch.cfg"))
+        shutil.copy(train_wp, os.path.join(args.out_dir, "train_wordings.txt"))
+        shutil.copy(test_wp, os.path.join(args.out_dir, "test_wordings.txt"))
+        summary = {
+            "device": str(jax.devices()[0]),
+            "n_train": args.n_train,
+            "epochs": args.epochs,
+            "n_seen_wordings": len(seen),
+            "n_heldout_wordings": len(unseen),
+            "transfer_test_acc_unseen_wordings": round(float(w_transfer_acc), 4),
+            "scratch_test_acc_unseen_wordings": round(float(w_scratch_acc), 4),
+        }
+        with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"artifacts -> {args.out_dir}", flush=True)
+
+
+def run_types(args):
+    """Pretraining-type sweep (reference experiments/timers_and_such/
+    training/type{1,2,3}_results.csv, ref training.py:61-63): pretrain with
+    type 1 (phoneme CE only), 2 (phoneme+word) and 3 (word only; the
+    unfreezing index then starts inside the word stack, ref data.py:79-82),
+    SLU-train each with the ULMFiT schedule, and emit per-type results CSVs
+    in the reference's exact 4-column format."""
+    import shutil
+
+    import pandas as pd
+
+    asr_root = os.path.join(args.workdir, "libri_synth")
+    if not os.path.isdir(os.path.join(asr_root, "text")):
+        print("generating ASR dataset...", flush=True)
+        make_asr_dataset(asr_root, n_per_split=args.n_asr)
+    slu_root = os.path.join(args.workdir, "fsc_transfer")
+    if not os.path.isfile(os.path.join(slu_root, "data", "train_data.csv")):
+        print("generating transfer SLU dataset...", flush=True)
+        make_transfer_dataset(slu_root, args.n_train, 256, 256)
+
+    results = {}
+    for ptype in (1, 2, 3):
+        folder = os.path.join(args.workdir, f"type{ptype}_exp")
+        cfg_path = _write_cfg(args, asr_root, slu_root, f"type{ptype}",
+                              folder, ptype, 1)
+        print(f"=== pretraining_type={ptype} ===", flush=True)
+        _pretrain_phase(args, cfg_path)
+        _, _, tacc = _train_slu_phase(cfg_path, f"type{ptype}", args.epochs)
+        results[ptype] = (folder, cfg_path, tacc)
+
+    for ptype, (_, _, tacc) in results.items():
+        print(f"type {ptype}: test acc {tacc:.3f}", flush=True)
+
+    if args.out_dir:
+        import json
+
+        import jax
+
+        os.makedirs(args.out_dir, exist_ok=True)
+        summary = {"device": str(jax.devices()[0]), "n_train": args.n_train,
+                   "epochs": args.epochs,
+                   "pretrain_epochs": args.pretrain_epochs}
+        for ptype, (folder, cfg_path, tacc) in results.items():
+            log = pd.read_csv(os.path.join(folder, "training", "log.csv"),
+                              index_col=0)
+            log[["intent_loss", "intent_acc", "set"]].to_csv(
+                os.path.join(args.out_dir, f"type{ptype}_results.csv"))
+            shutil.copy(cfg_path,
+                        os.path.join(args.out_dir, f"type{ptype}.cfg"))
+            summary[f"type{ptype}_test_acc"] = round(float(tacc), 4)
+        with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"artifacts -> {args.out_dir}", flush=True)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=6)
@@ -395,6 +572,14 @@ def main():
                         help="run the full transfer dress rehearsal: "
                              "pretrain -> ULMFiT SLU train -> decode, plus a "
                              "from-scratch control")
+    parser.add_argument("--wordings", action="store_true",
+                        help="run the limited-wordings ablation: train on a "
+                             "60%% wording subset, evaluate on held-out "
+                             "wordings, pretrained vs scratch")
+    parser.add_argument("--types", action="store_true",
+                        help="run the pretraining-type sweep (1=phoneme, "
+                             "2=phoneme+word, 3=word) and emit "
+                             "type{N}_results.csv artifacts")
     parser.add_argument("--restart", action="store_true",
                         help="resume from the phase checkpoint (incl. optimizer state)")
     args = parser.parse_args()
@@ -415,6 +600,14 @@ def main():
 
     if args.transfer:
         run_transfer(args)
+        return
+
+    if args.wordings:
+        run_wordings(args)
+        return
+
+    if args.types:
+        run_types(args)
         return
 
     if args.pretrain:
