@@ -122,3 +122,34 @@ def test_large_batch_auto_blocks(rng, B):
     got_g = jax.grad(lambda p: jnp.sum(gru_apply_pallas(p, x) * wout))(params)
     for a, b in zip(jax.tree.leaves(ref_g), jax.tree.leaves(got_g)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
+
+
+def test_vmem_headroom_contract(monkeypatch):
+    """Every pallas_call must carry the raised scoped-VMEM limit on TPU.
+
+    The shared bwd kernel's working set (16.08 MB at the flagship shape)
+    sits right AT Mosaic's default 16 MB scoped limit, so without an
+    explicit limit compile success was context-dependent (the ASR step
+    OOM'd only at ~5 s buckets, only in-program). Pin both halves of the
+    contract: interpret mode passes no compiler params; TPU mode raises
+    the allocator bound to 32 MB."""
+    from tpu_slu.ops import pallas_gru as pg
+
+    monkeypatch.setattr(pg, "_interpret", lambda: True)
+    assert pg._vmem_params() is None
+
+    monkeypatch.setattr(pg, "_interpret", lambda: False)
+    params = pg._vmem_params()
+    assert params is not None
+    assert params.vmem_limit_bytes == 32 * 1024 * 1024
+
+    import inspect
+
+    src = inspect.getsource(pg)
+    n_calls = src.count("pl.pallas_call(")
+    n_params = src.count("compiler_params=_vmem_params()")
+    assert n_calls == n_params, (
+        f"{n_calls} pallas_call sites but only {n_params} pass "
+        "compiler_params=_vmem_params(); every kernel in this module needs "
+        "the raised scoped-VMEM limit"
+    )
