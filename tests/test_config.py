@@ -99,3 +99,29 @@ def test_require_explains_call_order(cfg_path):
 def test_missing_file_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         read_config(str(tmp_path / "nope.cfg"))
+
+
+def test_ablation_cfg_writer(tmp_path):
+    """tools/train_synthetic._write_cfg emits parseable flagship-topology
+    cfgs for the ablation runners (--transfer/--wordings/--types): the
+    pretraining/unfreezing types land, and wording-filter paths are wired
+    when given (ref data.py:211-223)."""
+    import argparse
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import train_synthetic as ts
+
+    args = argparse.Namespace(workdir=str(tmp_path), epochs=2)
+    wp = (str(tmp_path / "train_w.txt"), str(tmp_path / "test_w.txt"))
+    folder = str(tmp_path / "exp")
+    path = ts._write_cfg(args, str(tmp_path / "asr"), str(tmp_path / "slu"),
+                         "t3", folder, 3, 1, wording_paths=wp)
+    config = read_config(path)
+    assert config.pretraining_type == 3
+    assert config.unfreezing_type == 1
+    assert config.asr_path == str(tmp_path / "asr")
+    assert config.train_wording_path == wp[0]
+    assert config.test_wording_path == wp[1]
+    # type 3 starts the ULMFiT walk inside the word stack (ref data.py:79-82)
+    assert config.starting_unfreezing_index == 1
