@@ -246,7 +246,7 @@ def make_transfer_dataset(root, n_train, n_valid, n_test, seed=0):
 
 
 def _write_cfg(args, asr_root, slu_root, name, folder, pretraining_type,
-               unfreezing_type, wording_paths=None):
+               unfreezing_type, wording_paths=None, speaker_subset=None):
     """Emit a flagship-topology cfg variant into the workdir."""
     path = os.path.join(args.workdir, f"{name}.cfg")
     text = (
@@ -256,6 +256,10 @@ def _write_cfg(args, asr_root, slu_root, name, folder, pretraining_type,
         .replace("unfreezing_type=0", f"unfreezing_type={unfreezing_type}")
         .replace("vocabulary_size=10000", "vocabulary_size=30")
     )
+    if speaker_subset is not None:
+        text = text.replace(
+            "real_speaker_subset_percentage=1.0",
+            f"real_speaker_subset_percentage={speaker_subset}")
     if wording_paths is not None:
         train_wp, test_wp = wording_paths
         text = (text
@@ -498,6 +502,76 @@ def run_wordings(args):
         print(f"artifacts -> {args.out_dir}", flush=True)
 
 
+def run_subset(args):
+    """Speaker-subset ablation (reference experiments/*_subset.cfg rows:
+    train on a fraction of speakers, ref data.py:150-169): SLU-train on 25%
+    of the real speakers, pretrained+ULMFiT vs from-scratch, evaluating on
+    the full valid/test speaker population. Reuses the --transfer
+    pretraining checkpoint when present (same encoder task)."""
+    import shutil
+
+    asr_root = os.path.join(args.workdir, "libri_synth")
+    if not os.path.isdir(os.path.join(asr_root, "text")):
+        print("generating ASR dataset...", flush=True)
+        make_asr_dataset(asr_root, n_per_split=args.n_asr)
+    slu_root = os.path.join(args.workdir, "fsc_transfer")
+    if not os.path.isfile(os.path.join(slu_root, "data", "train_data.csv")):
+        print("generating transfer SLU dataset...", flush=True)
+        make_transfer_dataset(slu_root, args.n_train, 256, 256)
+
+    src_pre = os.path.join(args.workdir, "transfer_exp", "pretraining")
+    if not os.path.isfile(os.path.join(src_pre, "model_state.npz")):
+        t_cfg = _write_cfg(args, asr_root, slu_root, "transfer",
+                           os.path.join(args.workdir, "transfer_exp"), 2, 1)
+        _pretrain_phase(args, t_cfg)
+
+    frac = 0.25  # 4 of the 16 synthetic speakers
+    folder = os.path.join(args.workdir, "subset_exp")
+    cfg_path = _write_cfg(args, asr_root, slu_root, "subset", folder, 2, 1,
+                          speaker_subset=frac)
+    shutil.copytree(src_pre, os.path.join(folder, "pretraining"),
+                    dirs_exist_ok=True)
+    _, _, s_transfer_acc = _train_slu_phase(cfg_path, "subset-transfer",
+                                            args.epochs)
+
+    scratch_folder = os.path.join(args.workdir, "subset_scratch_exp")
+    scratch_cfg = _write_cfg(args, asr_root, slu_root, "subset_scratch",
+                             scratch_folder, 0, 0, speaker_subset=frac)
+    os.makedirs(os.path.join(scratch_folder, "pretraining"), exist_ok=True)
+    shutil.copy(os.path.join(src_pre, "phonemes.txt"),
+                os.path.join(scratch_folder, "pretraining", "phonemes.txt"))
+    _, _, s_scratch_acc = _train_slu_phase(scratch_cfg, "subset-scratch",
+                                           args.epochs)
+
+    print(f"SPEAKER-SUBSET ({frac:.0%}) GAIN: test acc {s_transfer_acc:.3f} "
+          f"(pretrained+ULMFiT) vs {s_scratch_acc:.3f} (scratch)", flush=True)
+
+    if args.out_dir:
+        import json
+
+        import jax
+
+        os.makedirs(args.out_dir, exist_ok=True)
+        shutil.copy(os.path.join(folder, "training", "log.csv"),
+                    os.path.join(args.out_dir, "training_log.csv"))
+        shutil.copy(os.path.join(scratch_folder, "training", "log.csv"),
+                    os.path.join(args.out_dir, "scratch_training_log.csv"))
+        shutil.copy(cfg_path, os.path.join(args.out_dir, "subset.cfg"))
+        shutil.copy(scratch_cfg,
+                    os.path.join(args.out_dir, "subset_scratch.cfg"))
+        summary = {
+            "device": str(jax.devices()[0]),
+            "n_train": args.n_train,
+            "epochs": args.epochs,
+            "real_speaker_subset_percentage": frac,
+            "transfer_test_acc": round(float(s_transfer_acc), 4),
+            "scratch_test_acc": round(float(s_scratch_acc), 4),
+        }
+        with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"artifacts -> {args.out_dir}", flush=True)
+
+
 def run_types(args):
     """Pretraining-type sweep (reference experiments/timers_and_such/
     training/type{1,2,3}_results.csv, ref training.py:61-63): pretrain with
@@ -576,6 +650,9 @@ def main():
                         help="run the limited-wordings ablation: train on a "
                              "60%% wording subset, evaluate on held-out "
                              "wordings, pretrained vs scratch")
+    parser.add_argument("--subset", action="store_true",
+                        help="run the speaker-subset ablation: train on 25%% "
+                             "of real speakers, pretrained vs scratch")
     parser.add_argument("--types", action="store_true",
                         help="run the pretraining-type sweep (1=phoneme, "
                              "2=phoneme+word, 3=word) and emit "
@@ -604,6 +681,10 @@ def main():
 
     if args.wordings:
         run_wordings(args)
+        return
+
+    if args.subset:
+        run_subset(args)
         return
 
     if args.types:
