@@ -275,3 +275,62 @@ class TestSeq2SeqModel:
         ids = [0, 1, 2, 4, 4]  # <sos> a b <eos> <eos>
         onehot = np.eye(len(S), dtype=np.float32)[ids]
         assert model.one_hot_to_string(onehot, S) == "ab"
+
+
+class TestBatchedTeacherForcing:
+    """The batched teacher-forced path (embeddings hoisted before the scan,
+    output projections + log-softmax batched after it) must match the
+    reference-shaped per-step path: same math, same dropout RNG draws."""
+
+    def _setup(self, rng):
+        arch = Seq2SeqArch(
+            num_labels=5, num_encoder_layers=1, encoder_dim=6,
+            num_decoder_layers=2, decoder_dim=8, key_dim=6, value_dim=7, sos=0,
+        )
+        in_dim = 10
+        params = init_seq2seq_params(jax.random.PRNGKey(0), arch, in_dim)
+        B, T, U = 3, 9, 6
+        feats = jnp.asarray(rng.standard_normal((B, T, in_dim), dtype=np.float32))
+        ids = rng.integers(0, 5, (B, U))
+        y = jnp.asarray(np.eye(5, dtype=np.float32)[ids])
+        return arch, params, feats, y
+
+    def test_eval_matches_per_step(self, rng):
+        arch, params, feats, y = self._setup(rng)
+        lp_b = slu_mod.seq2seq_log_prob(params, arch, feats, y, batched=True)
+        lp_s = slu_mod.seq2seq_log_prob(params, arch, feats, y, batched=False)
+        np.testing.assert_allclose(np.asarray(lp_b), np.asarray(lp_s),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_train_mode_same_dropout_draws(self, rng):
+        arch, params, feats, y = self._setup(rng)
+        key = jax.random.PRNGKey(7)
+        lp_b = slu_mod.seq2seq_log_prob(params, arch, feats, y, batched=True,
+                                        train=True, rng=key)
+        lp_s = slu_mod.seq2seq_log_prob(params, arch, feats, y, batched=False,
+                                        train=True, rng=key)
+        np.testing.assert_allclose(np.asarray(lp_b), np.asarray(lp_s),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_num_steps_mask_matches(self, rng):
+        arch, params, feats, y = self._setup(rng)
+        ns = jnp.asarray(4)
+        lp_b = slu_mod.seq2seq_log_prob(params, arch, feats, y, batched=True,
+                                        num_steps=ns)
+        lp_s = slu_mod.seq2seq_log_prob(params, arch, feats, y, batched=False,
+                                        num_steps=ns)
+        np.testing.assert_allclose(np.asarray(lp_b), np.asarray(lp_s),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_gradients_match_per_step(self, rng):
+        arch, params, feats, y = self._setup(rng)
+
+        def loss(p, batched):
+            return -slu_mod.seq2seq_log_prob(p, arch, feats, y,
+                                             batched=batched).mean()
+
+        g_b = jax.grad(lambda p: loss(p, True))(params)
+        g_s = jax.grad(lambda p: loss(p, False))(params)
+        for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_b)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-5)

@@ -269,7 +269,7 @@ def _decoder_step(dec_params, arch: Seq2SeqArch, enc_kv, state, y_prev, *, train
 
 
 def seq2seq_log_prob(params, arch: Seq2SeqArch, feats, y_onehot, *, train=False, rng=None,
-                     gru_impl="scan", enc_mask=None, num_steps=None):
+                     gru_impl="scan", enc_mask=None, num_steps=None, batched=True):
     """Teacher-forced log p(y|x) per example (models.py:515-556).
 
     y_onehot: (B, U, num_labels), EOS-padded one-hot targets. ``num_steps``
@@ -277,6 +277,17 @@ def seq2seq_log_prob(params, arch: Seq2SeqArch, feats, y_onehot, *, train=False,
     loader EOS-pads labels to a bucket boundary, and masking past the batch's
     true max label length keeps the loss scale exactly the reference's
     pad-to-batch-max behavior regardless of bucketing.
+
+    ``batched=True`` (default) exploits teacher forcing: every step's
+    embedding input is known up front and every step's output projection
+    only depends on that step's top state, so both leave the scan — one
+    (B,U,L)@(L,E) matmul before it and one (U,B,H)@(H,L) + batched
+    log-softmax after it, MXU-shaped, instead of 2·U small in-scan ops
+    (which the backward pass would also unroll). Only the genuinely
+    sequential attention + GRUCell chain stays in the scan. Same math and
+    the same per-step dropout RNG draws as the reference-shaped per-step
+    path (``batched=False``, kept as the A/B control; ref models.py:515-556
+    recomputes embed/projection inside its Python step loop).
     """
     enc_out = seq2seq_encode(params["encoder"], arch, feats, train=train, rng=rng, gru_impl=gru_impl)
     dec = params["decoder"]
@@ -287,6 +298,38 @@ def seq2seq_log_prob(params, arch: Seq2SeqArch, feats, y_onehot, *, train=False,
 
     y_steps = jnp.swapaxes(y_onehot, 0, 1)  # (U, B, L)
     base_rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    if batched:
+        # Teacher-forced inputs: step u embeds y_{u-1} (y_sos at u=0).
+        y_prev = jnp.concatenate([y_sos[:, None], y_onehot[:, :-1]], axis=1)
+        embs = y_prev @ dec["embed"]["w"] + dec["embed"]["b"]  # (B, U, E)
+        embs = jnp.swapaxes(embs, 0, 1)  # (U, B, E)
+        keys, values = enc_kv
+
+        def body_batched(state, inp):
+            emb_u, u = inp
+            step_rng = jax.random.fold_in(base_rng, u) if train else None
+            context = attend_kv(dec["attention"], keys, values, state[:, -1],
+                                mask=enc_mask)
+            h_in = jnp.concatenate([emb_u, context], axis=1)
+            new_states = []
+            for li in range(arch.num_decoder_layers):
+                h = ops.gru_cell_step(dec["rnn"][str(2 * li)], h_in, state[:, li])
+                new_states.append(h)
+                h_in = h
+                if train and step_rng is not None:  # same draws as _decoder_step
+                    step_rng, sub = jax.random.split(step_rng)
+                    keep = jax.random.bernoulli(sub, 0.5, h_in.shape)
+                    h_in = jnp.where(keep, h_in / 0.5, 0.0)
+            new_state = jnp.stack(new_states, axis=1)
+            return new_state, new_state[:, -1]
+
+        _, tops = jax.lax.scan(body_batched, state0, (embs, jnp.arange(U)))
+        logits = tops @ dec["linear"]["w"] + dec["linear"]["b"]  # (U, B, L)
+        step_lp = (jax.nn.log_softmax(logits, axis=2) * y_steps).sum(axis=2)
+        if num_steps is not None:
+            step_lp = jnp.where(jnp.arange(U)[:, None] < num_steps, step_lp, 0.0)
+        return step_lp.sum(axis=0)
 
     def body(carry, inp):
         state, y_prev, acc = carry

@@ -318,6 +318,9 @@ class Trainer:
                     log_p = slu_mod.seq2seq_log_prob(
                         p, sarch, feats, y, train=train, rng=r2, gru_impl=gru_impl,
                         enc_mask=enc_mask, num_steps=num_steps,
+                        # trace-time A/B hook (tools/bench_s2s_ab.py): the
+                        # reference-shaped per-step embed/projection path
+                        batched=not os.environ.get("TPU_SLU_S2S_PERSTEP"),
                     )
                     denom = jnp.maximum(w.sum(), 1.0)
                     return -(log_p * w).sum() / denom, jnp.zeros((), jnp.float32)
