@@ -38,98 +38,154 @@ from tpu_slu.data.datasets import get_SLU_datasets
 from tpu_slu.models import Model
 from tpu_slu.training.trainer import Trainer
 
-ASSETS = os.path.join(REPO, "tests", "assets", "golden")
 FOLDER_PLACEHOLDER = "__GOLDEN_FOLDER__"
 N_GOLDEN_WAVS = 6
 TARGET_VALID_ACC = 0.97
-MAX_EPOCHS = 60
+MAX_DECODE_LEN = 16  # synthetic semantics are 6 chars + sos/eos
 
 
-def main():
+def _train(seq2seq: bool, max_epochs: int):
     work = tempfile.mkdtemp(prefix="golden_")
     slu_root = fixtures.make_slu_dataset(
         os.path.join(work, "fsc"), n_train=192, n_valid=32, n_test=32, seed=3
     )
+    # Seq2seq needs capacity to learn through the hardcoded 0.5 dropout
+    # (reference models.py:403,454): dims 8 plateau at the audio-blind
+    # optimum ln(8); dims 64 at lr 1e-3 reach valid acc 1.0 in ~21 epochs
+    # (measured 2026-08-19; the reference's own seq2seq cfgs use 128/256).
+    replace = {}
+    if seq2seq:
+        replace = {
+            "training_lr=0.003": "training_lr=0.001",
+            "intent_encoder_dim=8": "intent_encoder_dim=64",
+            "intent_decoder_dim=8": "intent_decoder_dim=64",
+            "intent_decoder_key_dim=8": "intent_decoder_key_dim=64",
+            "intent_decoder_value_dim=8": "intent_decoder_value_dim=64",
+        }
     cfg_path = fixtures.write_cfg(
         os.path.join(work, "exp.cfg"),
         folder=os.path.join(work, "exp"),
         slu_path=slu_root,
+        seq2seq=seq2seq,
+        replace=replace,
         extra="gradient_clip_norm=1.0\n",
     )
     config = read_config(cfg_path)
     fixtures.write_phonemes_txt(config.folder)
+    if seq2seq:
+        # Not a cfg key (set programmatically, models/slu.py); pinned in
+        # expected.json so the test decodes with the training-time budget.
+        config.seq2seq_max_decode_len = MAX_DECODE_LEN
+        config.decode_acc_from_epoch = 1
     train, valid, test = get_SLU_datasets(config)
 
     model = Model(config)
     trainer = Trainer(model, config)
     valid_acc = 0.0
-    for epoch in range(MAX_EPOCHS):
+    for epoch in range(max_epochs):
         train_acc, train_loss = trainer.train(train)
         valid_acc, _ = trainer.test(valid)
         print(f"epoch {epoch + 1}: train acc {train_acc:.3f} "
               f"loss {train_loss:.3f} valid acc {valid_acc:.3f}")
-        if valid_acc >= TARGET_VALID_ACC and train_acc >= TARGET_VALID_ACC:
+        if valid_acc >= TARGET_VALID_ACC and (seq2seq or train_acc >= TARGET_VALID_ACC):
             break
     if valid_acc < TARGET_VALID_ACC:
         raise SystemExit(f"did not converge: valid acc {valid_acc}")
     trainer.save_checkpoint()
+    return work, slu_root, cfg_path, config, model, test, valid_acc
 
-    # Select held-out test wavs the trained model decodes exactly, spanning
-    # as many distinct intents as possible.
-    chosen, seen_intents = [], set()
+
+def _select_golden(model, test, slu_root, seq2seq: bool):
+    """Held-out test wavs the trained model decodes exactly, spanning as
+    many distinct targets as possible."""
+    chosen, seen = [], set()
     for _, row in test.df.iterrows():
-        truth = [row["action"], row["object"], row["location"]]
+        if seq2seq:
+            truth = row["semantics"]
+        else:
+            truth = [row["action"], row["object"], row["location"]]
         wav, _ = read_wav(os.path.join(slu_root, row["path"]))
-        decoded = list(model.decode_intents(wav[None, :])[0])
+        decoded = model.decode_intents(wav[None, :])[0]
+        decoded = decoded if seq2seq else list(decoded)
         if decoded != truth:
-            print(f"skip {row['path']}: decoded {decoded} != {truth}")
+            print(f"skip {row['path']}: decoded {decoded!r} != {truth!r}")
             continue
-        key = tuple(truth)
-        if key in seen_intents and len(seen_intents) < 4:
+        key = tuple(truth) if not seq2seq else truth
+        if key in seen and len(seen) < 4:
             continue
-        seen_intents.add(key)
+        seen.add(key)
         chosen.append((os.path.join(slu_root, row["path"]), truth))
         if len(chosen) == N_GOLDEN_WAVS:
             break
     if len(chosen) < N_GOLDEN_WAVS:
         raise SystemExit(f"only {len(chosen)} clean golden decodes; need {N_GOLDEN_WAVS}")
+    return chosen
 
-    # Commit the artifact.
-    shutil.rmtree(ASSETS, ignore_errors=True)
-    os.makedirs(ASSETS)
+
+def _write_assets(name, work, slu_root, cfg_path, config, chosen, valid_acc,
+                  seq2seq: bool):
+    assets = os.path.join(REPO, "tests", "assets", name)
+    shutil.rmtree(assets, ignore_errors=True)
+    os.makedirs(assets)
     tdir = os.path.join(config.folder, "training")
     shutil.copyfile(os.path.join(tdir, "model_state.npz"),
-                    os.path.join(ASSETS, "model_state.npz"))
+                    os.path.join(assets, "model_state.npz"))
     shutil.copyfile(os.path.join(tdir, "vocab.json"),
-                    os.path.join(ASSETS, "vocab.json"))
+                    os.path.join(assets, "vocab.json"))
     expected = []
     for i, (src, truth) in enumerate(chosen):
-        name = f"golden_{i}.wav"
-        shutil.copyfile(src, os.path.join(ASSETS, name))
-        expected.append({"wav": name, "action": truth[0],
-                         "object": truth[1], "location": truth[2]})
-    with open(os.path.join(ASSETS, "expected.json"), "w") as f:
-        json.dump({"valid_acc": round(float(valid_acc), 4),
-                   "expected": expected}, f, indent=1)
+        wav_name = f"golden_{i}.wav"
+        shutil.copyfile(src, os.path.join(assets, wav_name))
+        if seq2seq:
+            expected.append({"wav": wav_name, "semantics": truth})
+        else:
+            expected.append({"wav": wav_name, "action": truth[0],
+                             "object": truth[1], "location": truth[2]})
+    meta = {"valid_acc": round(float(valid_acc), 4), "expected": expected}
+    if seq2seq:
+        meta["max_decode_len"] = MAX_DECODE_LEN
+    with open(os.path.join(assets, "expected.json"), "w") as f:
+        json.dump(meta, f, indent=1)
     # cfg template: same topology, folder/slu_path rebound at test time
     # (slu_path is unused by the dataset-free decode path).
     cfg_text = open(cfg_path).read()
     cfg_text = cfg_text.replace(os.path.join(work, "exp"), FOLDER_PLACEHOLDER)
     cfg_text = cfg_text.replace(slu_root, "")
-    with open(os.path.join(ASSETS, "experiment.cfg.template"), "w") as f:
+    with open(os.path.join(assets, "experiment.cfg.template"), "w") as f:
         f.write(cfg_text)
-    with open(os.path.join(ASSETS, "README.md"), "w") as f:
+    head = "seq2seq (beam decode -> semantics string)" if seq2seq else \
+        "fixed-slot (action/object/location)"
+    with open(os.path.join(assets, "README.md"), "w") as f:
         f.write(
-            "# Golden decode gate\n\n"
-            "Trained checkpoint + held-out wavs + expected intent decodes for\n"
+            f"# Golden decode gate — {head}\n\n"
+            "Trained checkpoint + held-out wavs + expected decodes for\n"
             "`tests/test_golden.py` — this repo's equivalent of the reference's\n"
             "`test.wav -> {activate, lights, kitchen}` smoke test (reference\n"
             "README.md:37-42), whose bundled `.pth` is stripped from the mount.\n"
             "Regenerate with `python tools/make_golden.py`.\n\n"
             f"Validation accuracy at commit time: {valid_acc:.4f}.\n"
         )
-    total = sum(os.path.getsize(os.path.join(ASSETS, p)) for p in os.listdir(ASSETS))
-    print(f"wrote {ASSETS} ({total / 1024:.0f} KiB, valid acc {valid_acc:.4f})")
+    total = sum(os.path.getsize(os.path.join(assets, p)) for p in os.listdir(assets))
+    print(f"wrote {assets} ({total / 1024:.0f} KiB, valid acc {valid_acc:.4f})")
+
+
+def main():
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--only", choices=["slots", "seq2seq"], default=None,
+                        help="regenerate a single artifact (default: both)")
+    args = parser.parse_args()
+
+    if args.only in (None, "slots"):
+        work, root, cfg, config, model, test, acc = _train(seq2seq=False, max_epochs=60)
+        chosen = _select_golden(model, test, root, seq2seq=False)
+        _write_assets("golden", work, root, cfg, config, chosen, acc, seq2seq=False)
+    if args.only in (None, "seq2seq"):
+        work, root, cfg, config, model, test, acc = _train(seq2seq=True, max_epochs=100)
+        chosen = _select_golden(model, test, root, seq2seq=True)
+        _write_assets("golden_seq2seq", work, root, cfg, config, chosen, acc,
+                      seq2seq=True)
 
 
 if __name__ == "__main__":
