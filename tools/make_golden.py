@@ -18,6 +18,7 @@ given the fixture seeds; re-run only to regenerate the artifact.
 
 import json
 import os
+import re
 import shutil
 import sys
 import tempfile
@@ -150,7 +151,10 @@ def _write_assets(name, work, slu_root, cfg_path, config, chosen, valid_acc,
     # (slu_path is unused by the dataset-free decode path).
     cfg_text = open(cfg_path).read()
     cfg_text = cfg_text.replace(os.path.join(work, "exp"), FOLDER_PLACEHOLDER)
-    cfg_text = cfg_text.replace(slu_root, "")
+    # Blank only the slu_path line itself (ADVICE r4: a bare substring
+    # replace of slu_root would also corrupt any other value that happens
+    # to start with the same prefix).
+    cfg_text = re.sub(r"(?m)^slu_path=.*$", "slu_path=", cfg_text)
     with open(os.path.join(assets, "experiment.cfg.template"), "w") as f:
         f.write(cfg_text)
     head = "seq2seq (beam decode -> semantics string)" if seq2seq else \

@@ -270,6 +270,31 @@ def _write_cfg(args, asr_root, slu_root, name, folder, pretraining_type,
     return path
 
 
+def _pretrain_args_path(pre_dir):
+    return os.path.join(pre_dir, "pretrain_args.json")
+
+
+def _reusable_pretrain(args, pre_dir):
+    """True iff a checkpoint exists AND was produced with the current
+    pretrain-shaping args (ADVICE r4: a stale checkpoint from an earlier
+    differently-sized run must not silently feed an ablation)."""
+    import json
+
+    if not os.path.isfile(os.path.join(pre_dir, "model_state.npz")):
+        return False
+    want = {"n_asr": args.n_asr, "pretrain_epochs": args.pretrain_epochs}
+    try:
+        with open(_pretrain_args_path(pre_dir)) as f:
+            got = json.load(f)
+    except (OSError, ValueError):
+        got = None
+    if got != want:
+        print(f"[pretrain] checkpoint in {pre_dir} was built with {got}, "
+              f"current args are {want}; regenerating", flush=True)
+        return False
+    return True
+
+
 def _pretrain_phase(args, cfg_path):
     """Dual-head ASR pretraining (reference main.py:24-38); checkpoints to
     <folder>/pretraining/."""
@@ -294,6 +319,10 @@ def _pretrain_phase(args, cfg_path):
         print(f"[pretrain] epoch {epoch}: phone acc={pa:.3f}/{vpa:.3f} "
               f"word acc={wa:.3f}/{vwa:.3f}", flush=True)
     pre_trainer.save_checkpoint()
+    import json
+
+    with open(_pretrain_args_path(os.path.join(config.folder, "pretraining")), "w") as f:
+        json.dump({"n_asr": args.n_asr, "pretrain_epochs": args.pretrain_epochs}, f)
 
 
 def _train_slu_phase(cfg_path, tag, epochs):
@@ -448,7 +477,7 @@ def run_wordings(args):
     # Pretraining: reuse the --transfer checkpoint (identical encoder task)
     # or produce it now.
     src_pre = os.path.join(args.workdir, "transfer_exp", "pretraining")
-    if not os.path.isfile(os.path.join(src_pre, "model_state.npz")):
+    if not _reusable_pretrain(args, src_pre):
         t_cfg = _write_cfg(args, asr_root, slu_root, "transfer",
                            os.path.join(args.workdir, "transfer_exp"), 2, 1)
         _pretrain_phase(args, t_cfg)
@@ -520,7 +549,7 @@ def run_subset(args):
         make_transfer_dataset(slu_root, args.n_train, 256, 256)
 
     src_pre = os.path.join(args.workdir, "transfer_exp", "pretraining")
-    if not os.path.isfile(os.path.join(src_pre, "model_state.npz")):
+    if not _reusable_pretrain(args, src_pre):
         t_cfg = _write_cfg(args, asr_root, slu_root, "transfer",
                            os.path.join(args.workdir, "transfer_exp"), 2, 1)
         _pretrain_phase(args, t_cfg)

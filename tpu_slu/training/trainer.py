@@ -320,7 +320,7 @@ class Trainer:
                         enc_mask=enc_mask, num_steps=num_steps,
                         # trace-time A/B hook (tools/bench_s2s_ab.py): the
                         # reference-shaped per-step embed/projection path
-                        batched=not os.environ.get("TPU_SLU_S2S_PERSTEP"),
+                        batched=os.environ.get("TPU_SLU_S2S_PERSTEP") != "1",
                     )
                     denom = jnp.maximum(w.sum(), 1.0)
                     return -(log_p * w).sum() / denom, jnp.zeros((), jnp.float32)
