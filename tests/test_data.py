@@ -366,3 +366,50 @@ def test_export_results_reference_shape(tmp_path):
     df = pd.read_csv(out, index_col=0)
     assert list(df.columns) == ["intent_loss", "intent_acc", "set"]
     assert os.path.basename(out) == "results.csv"  # no experiment.cfg nearby
+
+
+class TestWsolaTempo:
+    """Pitch-preserving tempo augmentation (tempo.py) — the sox ``tempo``
+    semantics the reference's dead augmentation path requested
+    (reference data.py:277-281)."""
+
+    @staticmethod
+    def _dominant_hz(x, sr=16000):
+        spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+        return np.argmax(spec) * sr / len(x)
+
+    def test_length_convention(self):
+        from tpu_slu.data.tempo import wsola_tempo
+
+        x = np.random.default_rng(0).standard_normal(64000).astype(np.float32)
+        for speed in (0.9, 0.97, 1.03, 1.1):
+            y = wsola_tempo(x, speed)
+            assert y.dtype == np.float32
+            assert len(y) == round(len(x) / speed)  # sox tempo convention
+            assert np.isfinite(y).all()
+
+    def test_identity_at_unit_speed(self):
+        from tpu_slu.data.tempo import wsola_tempo
+
+        x = np.random.default_rng(1).standard_normal(8000).astype(np.float32)
+        np.testing.assert_array_equal(wsola_tempo(x, 1.0), x)
+
+    def test_pitch_preserved(self):
+        """A 440 Hz tone time-stretched ±10% keeps its pitch (resampling —
+        the pre-round-5 implementation — would move it to 484/400 Hz)."""
+        from tpu_slu.data.tempo import wsola_tempo
+
+        sr = 16000
+        t = np.arange(sr, dtype=np.float32) / sr
+        x = (0.3 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+        for speed in (0.9, 1.1):
+            y = wsola_tempo(x, speed)
+            assert abs(self._dominant_hz(y, sr) - 440.0) < 8.0
+            # amplitude roughly preserved (no OLA normalization dips)
+            assert 0.25 < np.abs(y[400:-400]).max() < 0.35
+
+    def test_short_input_passthrough(self):
+        from tpu_slu.data.tempo import wsola_tempo
+
+        x = np.random.default_rng(2).standard_normal(300).astype(np.float32)
+        np.testing.assert_array_equal(wsola_tempo(x, 1.1), x)

@@ -16,13 +16,13 @@ Deviations (documented):
 * the seq2seq char vocab is sorted (the reference's ``list(set(...))``
   order is process-dependent, ``data.py:203-204``);
 * batches are length-bucketed static shapes with per-example weights
-  (see ``loader.py``) instead of exact-max padding;
-* augmentation speed change uses polyphase resampling, which shifts pitch
-  along with tempo, unlike the sox ``tempo`` effect (pitch-preserving
-  WSOLA) the reference's dead code would have used (``data.py:277-316``).
-  The reference never ran its augmentation (``self.augment=False``
-  hardcoded at ``data.py:257,276``), so there is no behavior to match —
-  but the semantic difference matters if comparing against a sox pipeline.
+  (see ``loader.py``) instead of exact-max padding.
+
+Unlike the reference, augmentation actually runs when configured (the
+reference hardcodes ``self.augment=False`` at ``data.py:257,276``); its
+tempo perturbation is pitch-preserving WSOLA (``tempo.py``), matching the
+sox ``tempo`` semantics the reference's dead code requested
+(``data.py:277-316``).
 """
 
 from __future__ import annotations
@@ -187,20 +187,13 @@ class SLUDataset:
 
 def _augment_wave(x, rng):
     """Working train-time augmentation (the reference's is dead code,
-    reference data.py:257,276): speed perturbation (resampling), gain,
-    additive noise at SNR ∈ {0,5,10,15,20} dB.
-
-    Deviation: resample_poly changes pitch along with speed; sox ``tempo``
-    (what the reference's dead code requested) is pitch-preserving WSOLA.
-    See the module docstring's deviations list."""
-    from math import gcd
-
-    from scipy.signal import resample_poly
+    reference data.py:257,276): pitch-preserving tempo perturbation (WSOLA,
+    the sox ``tempo`` semantics the reference's code requested at
+    data.py:281), gain, additive noise at SNR ∈ {0,5,10,15,20} dB."""
+    from tpu_slu.data.tempo import wsola_tempo
 
     speed = rng.uniform(0.9, 1.1)
-    up, down = round(speed * 100), 100
-    g = gcd(up, down)
-    x = resample_poly(x, down // g, up // g).astype(np.float32)
+    x = wsola_tempo(x, speed)
     x = x * (10.0 ** (rng.uniform(-10, 10) / 20.0))
     snr = rng.choice([0, 5, 10, 15, 20])
     noise = rng.standard_normal(len(x)).astype(np.float32)
