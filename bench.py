@@ -616,6 +616,25 @@ def main():
         # 8x and window variance gone — isolates kernel quality from relay
         # weather (the number the residual attribution trusts).
         record["sol_frac_device"] = round(max(floors.values()) / device_us, 3)
+        # Refined floor (round 5, tools/bench_gatechain.py): the measured
+        # per-step cost of the production recurrence chain at this batch,
+        # summed over the flagship's 750 steps, ADDED to the HBM byte floor.
+        # The additive model is empirically verified at B=128 (316 + 114 =
+        # 430 us vs 434.7 measured in-window); the chain is throughput-bound
+        # (indep == chained at B>=128), so neither term amortizes with batch
+        # — which is why the wall scales ~2x with B. Informational; read
+        # from the committed measurement like the serving percentiles.
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "experiments", "gatechain_floor_v5e.json")) as f:
+                gc_chain = json.load(f)["floor_us"].get(str(args.batch))
+            if gc_chain:
+                record["chain_floor_us"] = gc_chain
+                record["sol_frac_refined"] = round(
+                    (floors["hbm"] + gc_chain) / device_us, 3)
+        except Exception:
+            pass
 
     section("device_scan8", lambda: 1.5 * cc() + 60.0, measure_device_scan)
 
