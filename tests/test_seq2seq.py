@@ -334,3 +334,82 @@ class TestBatchedTeacherForcing:
         for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_b)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-4, atol=1e-5)
+
+
+class TestSeq2SeqDropoutKnob:
+    """Config extension ``seq2seq_dropout``: the reference HARDCODES p=0.5
+    inside Seq2SeqEncoder/DecoderRNN (models.py:403,454); the knob makes the
+    rate configurable with 0.5 as the parity default."""
+
+    def _setup(self, rng, dropout):
+        import dataclasses
+
+        arch = Seq2SeqArch(
+            num_labels=5, num_encoder_layers=1, encoder_dim=6,
+            num_decoder_layers=2, decoder_dim=8, key_dim=6, value_dim=7, sos=0,
+        )
+        arch = dataclasses.replace(arch, dropout=dropout)
+        params = init_seq2seq_params(jax.random.PRNGKey(0), arch, 10)
+        B, T, U = 3, 9, 6
+        feats = jnp.asarray(rng.standard_normal((B, T, 10), dtype=np.float32))
+        ids = rng.integers(0, 5, (B, U))
+        y = jnp.asarray(np.eye(5, dtype=np.float32)[ids])
+        return arch, params, feats, y
+
+    def test_default_is_reference_half(self):
+        arch = Seq2SeqArch(
+            num_labels=5, num_encoder_layers=1, encoder_dim=6,
+            num_decoder_layers=1, decoder_dim=8, key_dim=6, value_dim=7, sos=0,
+        )
+        assert arch.dropout == 0.5
+
+    def test_zero_dropout_train_equals_eval(self, rng):
+        arch, params, feats, y = self._setup(rng, dropout=0.0)
+        lp_train = slu_mod.seq2seq_log_prob(
+            params, arch, feats, y, train=True, rng=jax.random.PRNGKey(3))
+        lp_eval = slu_mod.seq2seq_log_prob(params, arch, feats, y)
+        np.testing.assert_allclose(np.asarray(lp_train), np.asarray(lp_eval),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_rate_changes_train_logprob(self, rng):
+        arch_lo, params, feats, y = self._setup(rng, dropout=0.1)
+        arch_hi = Seq2SeqArch(
+            num_labels=5, num_encoder_layers=1, encoder_dim=6,
+            num_decoder_layers=2, decoder_dim=8, key_dim=6, value_dim=7,
+            sos=0, dropout=0.5,
+        )
+        key = jax.random.PRNGKey(3)
+        lp_lo = slu_mod.seq2seq_log_prob(params, arch_lo, feats, y,
+                                         train=True, rng=key)
+        lp_hi = slu_mod.seq2seq_log_prob(params, arch_hi, feats, y,
+                                         train=True, rng=key)
+        assert not np.allclose(np.asarray(lp_lo), np.asarray(lp_hi))
+
+    def test_batched_matches_per_step_at_custom_rate(self, rng):
+        arch, params, feats, y = self._setup(rng, dropout=0.3)
+        key = jax.random.PRNGKey(7)
+        lp_b = slu_mod.seq2seq_log_prob(params, arch, feats, y, batched=True,
+                                        train=True, rng=key)
+        lp_s = slu_mod.seq2seq_log_prob(params, arch, feats, y, batched=False,
+                                        train=True, rng=key)
+        np.testing.assert_allclose(np.asarray(lp_b), np.asarray(lp_s),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_config_roundtrip(self, tmp_path):
+        from tests import fixtures
+        from tpu_slu import read_config
+
+        cfg_path = fixtures.write_cfg(
+            str(tmp_path / "exp.cfg"), folder=str(tmp_path / "exp"),
+            slu_path=str(tmp_path), seq2seq=True,
+        )
+        config = read_config(cfg_path)
+        assert config.seq2seq_dropout == 0.5  # absent key -> parity default
+        text = open(cfg_path).read().replace(
+            "[intent_module]", "[intent_module]\nseq2seq_dropout=0.25")
+        with open(cfg_path, "w") as f:
+            f.write(text)
+        config = read_config(cfg_path)
+        assert config.seq2seq_dropout == 0.25
+        arch = Seq2SeqArch.from_config(config, sos=0, num_labels=5)
+        assert arch.dropout == 0.25

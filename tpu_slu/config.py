@@ -155,6 +155,16 @@ def read_config(config_file: str, make_dirs: bool = True) -> Config:
         )
     except (configparser.Error, ValueError):
         pass  # no seq2seq hyperparameters in this cfg
+    # Extension: dropout rate inside the seq2seq head. The reference
+    # HARDCODES p=0.5 in Seq2SeqEncoder and DecoderRNN (models.py:403,454)
+    # — appropriate for Timers-and-Such-scale data, but it dominates the
+    # optimization on small tasks (measured: the synthetic 336-combo demo
+    # mode-collapses its first decode slot under 0.5 while converging at
+    # lower rates). Default 0.5 = reference parity.
+    try:
+        config.seq2seq_dropout = parser.getfloat("intent_module", "seq2seq_dropout")
+    except (configparser.Error, ValueError):
+        config.seq2seq_dropout = 0.5
 
     # [pretraining]
     config.asr_path = parser.get("pretraining", "asr_path")

@@ -172,6 +172,9 @@ class Seq2SeqArch:
     value_dim: int
     sos: int
     max_decode_len: int = 200  # reference true_U, models.py:576
+    # The reference hardcodes p=0.5 in Seq2SeqEncoder/DecoderRNN
+    # (models.py:403,454); config extension seq2seq_dropout overrides.
+    dropout: float = 0.5
 
     @staticmethod
     def from_config(config, sos: int, num_labels: int) -> "Seq2SeqArch":
@@ -185,6 +188,7 @@ class Seq2SeqArch:
             value_dim=config.intent_decoder_value_dim,
             sos=sos,
             max_decode_len=getattr(config, "seq2seq_max_decode_len", 200),
+            dropout=getattr(config, "seq2seq_dropout", 0.5),
         )
 
 
@@ -233,10 +237,11 @@ def seq2seq_encode(params, arch: Seq2SeqArch, feats, *, train=False, rng=None, g
             out = ops.gru_apply_masked(params[str(3 * idx)], out, n_frames, impl=gru_impl)
         else:
             out = ops.gru_apply(params[str(3 * idx)], out, impl=gru_impl)
-        if train and rng is not None:
+        if train and rng is not None and arch.dropout > 0.0:
             rng, sub = jax.random.split(rng)
-            keep = jax.random.bernoulli(sub, 0.5, out.shape)
-            out = jnp.where(keep, out / 0.5, 0.0)
+            keep_p = 1.0 - arch.dropout  # bernoulli draws match the
+            keep = jax.random.bernoulli(sub, keep_p, out.shape)  # 0.5 default
+            out = jnp.where(keep, out / keep_p, 0.0)
     return out
 
 
@@ -259,10 +264,12 @@ def _decoder_step(dec_params, arch: Seq2SeqArch, enc_kv, state, y_prev, *, train
         h = ops.gru_cell_step(dec_params["rnn"][str(2 * li)], h_in, state[:, li])
         new_states.append(h)
         h_in = h
-        if train and rng is not None:  # inter-layer dropout p=0.5 (models.py:454)
+        if train and rng is not None and arch.dropout > 0.0:
+            # inter-layer dropout, p=0.5 default (models.py:454)
             rng, sub = jax.random.split(rng)
-            keep = jax.random.bernoulli(sub, 0.5, h_in.shape)
-            h_in = jnp.where(keep, h_in / 0.5, 0.0)
+            keep_p = 1.0 - arch.dropout
+            keep = jax.random.bernoulli(sub, keep_p, h_in.shape)
+            h_in = jnp.where(keep, h_in / keep_p, 0.0)
     new_state = jnp.stack(new_states, axis=1)
     logits = new_state[:, -1] @ dec_params["linear"]["w"] + dec_params["linear"]["b"]
     return new_state, jax.nn.log_softmax(logits, axis=1)
@@ -317,10 +324,12 @@ def seq2seq_log_prob(params, arch: Seq2SeqArch, feats, y_onehot, *, train=False,
                 h = ops.gru_cell_step(dec["rnn"][str(2 * li)], h_in, state[:, li])
                 new_states.append(h)
                 h_in = h
-                if train and step_rng is not None:  # same draws as _decoder_step
+                if train and step_rng is not None and arch.dropout > 0.0:
+                    # same draws as _decoder_step
                     step_rng, sub = jax.random.split(step_rng)
-                    keep = jax.random.bernoulli(sub, 0.5, h_in.shape)
-                    h_in = jnp.where(keep, h_in / 0.5, 0.0)
+                    keep_p = 1.0 - arch.dropout
+                    keep = jax.random.bernoulli(sub, keep_p, h_in.shape)
+                    h_in = jnp.where(keep, h_in / keep_p, 0.0)
             new_state = jnp.stack(new_states, axis=1)
             return new_state, new_state[:, -1]
 
