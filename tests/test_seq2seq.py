@@ -413,3 +413,87 @@ class TestSeq2SeqDropoutKnob:
         assert config.seq2seq_dropout == 0.25
         arch = Seq2SeqArch.from_config(config, sos=0, num_labels=5)
         assert arch.dropout == 0.25
+
+
+class TestZerosStartKnob:
+    """Config extension ``seq2seq_zeros_start``: the reference trains u=0 on
+    one-hot SOS (models.py:536-538) but beam-decodes u=0 from a zeros vector
+    (models.py:600). Default preserves the mismatch (parity); True trains on
+    the zeros vector inference feeds."""
+
+    def _setup(self, rng, zeros_start):
+        import dataclasses
+
+        arch = Seq2SeqArch(
+            num_labels=5, num_encoder_layers=1, encoder_dim=6,
+            num_decoder_layers=2, decoder_dim=8, key_dim=6, value_dim=7, sos=0,
+        )
+        arch = dataclasses.replace(arch, zeros_start=zeros_start)
+        params = init_seq2seq_params(jax.random.PRNGKey(0), arch, 10)
+        B, T, U = 3, 9, 6
+        feats = jnp.asarray(rng.standard_normal((B, T, 10), dtype=np.float32))
+        ids = rng.integers(0, 5, (B, U))
+        y = jnp.asarray(np.eye(5, dtype=np.float32)[ids])
+        return arch, params, feats, y
+
+    def test_default_is_sos(self):
+        arch = Seq2SeqArch(
+            num_labels=5, num_encoder_layers=1, encoder_dim=6,
+            num_decoder_layers=1, decoder_dim=8, key_dim=6, value_dim=7, sos=0,
+        )
+        assert arch.zeros_start is False
+
+    def test_zeros_start_changes_logprob(self, rng):
+        arch_sos, params, feats, y = self._setup(rng, zeros_start=False)
+        arch_z, _, _, _ = self._setup(rng, zeros_start=True)
+        lp_sos = slu_mod.seq2seq_log_prob(params, arch_sos, feats, y)
+        lp_z = slu_mod.seq2seq_log_prob(params, arch_z, feats, y)
+        assert not np.allclose(np.asarray(lp_sos), np.asarray(lp_z))
+
+    def test_batched_matches_per_step(self, rng):
+        arch, params, feats, y = self._setup(rng, zeros_start=True)
+        lp_b = slu_mod.seq2seq_log_prob(params, arch, feats, y, batched=True)
+        lp_s = slu_mod.seq2seq_log_prob(params, arch, feats, y, batched=False)
+        np.testing.assert_allclose(np.asarray(lp_b), np.asarray(lp_s),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_matches_beam_step_zero_distribution(self, rng):
+        """With zeros_start the teacher-forced u=0 log-probs must equal what
+        the beam decoder's first step computes (the whole point)."""
+        from tpu_slu.models.slu import _decoder_step, attention_kv, seq2seq_encode
+
+        arch, params, feats, y = self._setup(rng, zeros_start=True)
+        B, U, L = np.asarray(y).shape
+        # teacher-forced u=0 step log-prob of each y[:,0]
+        lp_first = slu_mod.seq2seq_log_prob(
+            params, arch, feats, y, num_steps=jnp.asarray(1))
+        # beam machinery's u=0: zeros y_prev on the same encoder outputs
+        enc_out = seq2seq_encode(params["encoder"], arch, feats)
+        kv = attention_kv(params["decoder"]["attention"], enc_out)
+        state0 = jnp.broadcast_to(
+            params["decoder"]["initial_state"][None],
+            (B,) + params["decoder"]["initial_state"].shape)
+        _, logp = _decoder_step(params["decoder"], arch, kv, state0,
+                                jnp.zeros((B, L), jnp.float32))
+        expect = (np.asarray(logp) * np.asarray(y)[:, 0]).sum(axis=1)
+        np.testing.assert_allclose(np.asarray(lp_first), expect,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_config_roundtrip(self, tmp_path):
+        from tests import fixtures
+        from tpu_slu import read_config
+
+        cfg_path = fixtures.write_cfg(
+            str(tmp_path / "exp.cfg"), folder=str(tmp_path / "exp"),
+            slu_path=str(tmp_path), seq2seq=True,
+        )
+        config = read_config(cfg_path)
+        assert config.seq2seq_zeros_start is False  # parity default
+        text = open(cfg_path).read().replace(
+            "[intent_module]", "[intent_module]\nseq2seq_zeros_start=True")
+        with open(cfg_path, "w") as f:
+            f.write(text)
+        config = read_config(cfg_path)
+        assert config.seq2seq_zeros_start is True
+        arch = Seq2SeqArch.from_config(config, sos=0, num_labels=5)
+        assert arch.zeros_start is True

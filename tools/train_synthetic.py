@@ -773,8 +773,45 @@ def main():
         cfg_text = CFG.format(folder=os.path.join(args.workdir, name),
                               slu_path=slu_root, epochs=args.epochs)
         if args.seq2seq:
+            # The measured convergence recipe (the committed golden_seq2seq
+            # gate, tools/make_golden.py): decoder dims 64 at lr 1e-3 (the
+            # CFG default) and NO encoder/intent dropout. The seq2seq head
+            # already carries the reference's hardcoded 0.5 decoder dropout
+            # (reference models.py:403,454); stacking 0.5 encoder-RNN
+            # dropout on top of it demonstrably blocks convergence on this
+            # task — three recorded multi-epoch runs plateaued near the
+            # audio-blind loss (r4 dims 128/256 lr 5e-4: acc 0.09 @ 40
+            # epochs; r5 dims 128/256 lr 1e-3: 0.035 @ 30; r5 dims 64
+            # lr 1e-3 WITH 0.5 encoder dropout: 0.05 @ 67) while the
+            # fixed-slot head converges fine with it (its CE loss doesn't
+            # pass through an autoregressive attention decoder). The golden
+            # gate, identical except dropout 0, reached valid acc 1.0 in
+            # ~21 epochs.
             cfg_text += "seq2seq=True\n"
-            cfg_text = cfg_text.replace("training_lr=0.001", "training_lr=0.0005")
+            for key in ("intent_encoder_dim=128", "intent_decoder_dim=256",
+                        "intent_decoder_key_dim=128",
+                        "intent_decoder_value_dim=256"):
+                cfg_text = cfg_text.replace(key, key.split("=")[0] + "=64")
+            for key, val in (("phone_rnn_drop=0.5,0.5", "phone_rnn_drop=0.0,0.0"),
+                             ("word_rnn_drop=0.5,0.5", "word_rnn_drop=0.0,0.0"),
+                             ("intent_rnn_drop=0.5", "intent_rnn_drop=0.0"),
+                             # newline-anchored: "training_batch_size" is a
+                             # substring of "pretraining_batch_size"
+                             ("\ntraining_batch_size=64", "\ntraining_batch_size=32"),
+                             # two decisive levers (see config.py):
+                             # seq2seq_dropout — the reference's hardcoded
+                             # 0.5 stalls this task's optimization; and
+                             # seq2seq_zeros_start — the reference's
+                             # train(one-hot SOS)/decode(zeros) first-step
+                             # mismatch mode-collapses the action slot AT
+                             # DECODE TIME no matter how well training
+                             # converges (probed: 56/64 then 51/64 wrong
+                             # actions on otherwise-learning checkpoints)
+                             ("intent_rnn_bidirectional=True",
+                              "intent_rnn_bidirectional=True\n"
+                              "seq2seq_dropout=0.1\n"
+                              "seq2seq_zeros_start=True")):
+                cfg_text = cfg_text.replace(key, val)
         f.write(cfg_text)
     config = read_config(cfg_path)
     os.makedirs(os.path.join(config.folder, "pretraining"), exist_ok=True)
@@ -809,6 +846,46 @@ def main():
     with contextlib.redirect_stdout(io.StringIO()):
         tacc, tloss = trainer.test(test, log_set="test")
     print(f"test acc={tacc:.3f}")
+
+    if args.out_dir:
+        _emit_demo_artifact(args, config, vacc, tacc)
+
+
+def _emit_demo_artifact(args, config, valid_acc, test_acc):
+    """Copy the run's artifacts to --out-dir in the reference's layout:
+    log.csv + experiment.cfg + type0_results.csv (the reference's
+    ``type{N}_results.csv`` column subset, cf.
+    /root/reference/experiments/timers_and_such/training/type1_results.csv)
+    + a summary.json like the other demo dirs."""
+    import json
+    import shutil
+
+    import pandas as pd
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    log_src = os.path.join(config.folder, "training", "log.csv")
+    shutil.copy(log_src, os.path.join(args.out_dir, "log.csv"))
+    shutil.copy(os.path.join(args.workdir, f"{os.path.basename(config.folder)}.cfg"),
+                os.path.join(args.out_dir, "experiment.cfg"))
+    df = pd.read_csv(log_src, index_col=0)
+    df[["intent_loss", "intent_acc", "set"]].to_csv(
+        os.path.join(args.out_dir, "type0_results.csv"))
+    import jax
+
+    with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
+        json.dump(
+            {
+                "device": jax.devices()[0].device_kind,
+                "n_train": args.n_train,
+                "epochs": args.epochs,
+                "seq2seq": bool(args.seq2seq),
+                "final_valid_acc": round(float(valid_acc), 4),
+                "test_acc": round(float(test_acc), 4),
+            },
+            f,
+            indent=1,
+        )
+    print(f"artifact written to {args.out_dir}")
 
 
 if __name__ == "__main__":

@@ -165,6 +165,18 @@ def read_config(config_file: str, make_dirs: bool = True) -> Config:
         config.seq2seq_dropout = parser.getfloat("intent_module", "seq2seq_dropout")
     except (configparser.Error, ValueError):
         config.seq2seq_dropout = 0.5
+    # Extension: train the first decode step on the zeros vector that beam
+    # inference actually feeds. The reference trains u=0 on one-hot SOS
+    # (models.py:536-538) but decodes u=0 from zeros (models.py:600) — a
+    # train/decode mismatch on exactly one step; first-token-informative
+    # tasks decode that token as the marginal mode. Default False =
+    # reference parity (bug preserved).
+    try:
+        config.seq2seq_zeros_start = (
+            parser.get("intent_module", "seq2seq_zeros_start") == "True"
+        )
+    except configparser.Error:
+        config.seq2seq_zeros_start = False
 
     # [pretraining]
     config.asr_path = parser.get("pretraining", "asr_path")

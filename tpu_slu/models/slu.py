@@ -175,6 +175,16 @@ class Seq2SeqArch:
     # The reference hardcodes p=0.5 in Seq2SeqEncoder/DecoderRNN
     # (models.py:403,454); config extension seq2seq_dropout overrides.
     dropout: float = 0.5
+    # Reference BUG preserved by default: teacher-forced training feeds a
+    # one-hot SOS at u=0 (models.py:536-538) while beam inference feeds an
+    # all-zeros vector (models.py:600) — the first decode step is the only
+    # one whose input distribution differs between train and decode, and on
+    # tasks where the first token carries real information it decodes as
+    # the marginal mode (measured: the synthetic demo's action slot stayed
+    # mode-collapsed across four otherwise-converging runs). Config
+    # extension seq2seq_zeros_start=True trains u=0 with the same zeros
+    # vector inference uses.
+    zeros_start: bool = False
 
     @staticmethod
     def from_config(config, sos: int, num_labels: int) -> "Seq2SeqArch":
@@ -189,6 +199,7 @@ class Seq2SeqArch:
             sos=sos,
             max_decode_len=getattr(config, "seq2seq_max_decode_len", 200),
             dropout=getattr(config, "seq2seq_dropout", 0.5),
+            zeros_start=getattr(config, "seq2seq_zeros_start", False),
         )
 
 
@@ -301,7 +312,11 @@ def seq2seq_log_prob(params, arch: Seq2SeqArch, feats, y_onehot, *, train=False,
     enc_kv = attention_kv(dec["attention"], enc_out)  # hoisted out of the scan
     B, U, L = y_onehot.shape
     state0 = jnp.broadcast_to(dec["initial_state"][None], (B,) + dec["initial_state"].shape)
-    y_sos = jax.nn.one_hot(jnp.full((B,), arch.sos), L, dtype=jnp.float32)
+    # u=0 input: one-hot SOS (reference models.py:536-538). With
+    # arch.zeros_start, the zeros vector beam inference feeds instead
+    # (models.py:600) — see the Seq2SeqArch field note.
+    y_sos = (jnp.zeros((B, L), jnp.float32) if arch.zeros_start
+             else jax.nn.one_hot(jnp.full((B,), arch.sos), L, dtype=jnp.float32))
 
     y_steps = jnp.swapaxes(y_onehot, 0, 1)  # (U, B, L)
     base_rng = rng if rng is not None else jax.random.PRNGKey(0)
