@@ -726,6 +726,21 @@ def main():
         if fb:
             fallback_metrics.append("train_step")
         record["train_step_ms"] = round(float(ts * 1000), 3)
+        # Train-step speed-of-light fraction (round 5,
+        # tools/bench_trainstep_floor.py): additive optimistic floor
+        # (fwd HBM+chain, 2x each for bwd, 10P Adam bytes) over the
+        # committed measurement — informational, like chain_floor_us.
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "experiments", "trainstep_floor_v5e.json")) as f:
+                tf = json.load(f)
+            if tf.get("batch") == Bt:
+                record["train_floor_us"] = tf["floor_us"]["train"]
+                record["sol_frac_train"] = round(
+                    tf["floor_us"]["train"] / (float(ts) * 1e6), 3)
+        except Exception:
+            pass
 
     section("train_step", lambda: 3.0 * cc() + 60.0, measure_train_step)
 

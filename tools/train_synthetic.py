@@ -688,6 +688,10 @@ def main():
                              "type{N}_results.csv artifacts")
     parser.add_argument("--restart", action="store_true",
                         help="resume from the phase checkpoint (incl. optimizer state)")
+    parser.add_argument("--lr", type=float, default=0.0,
+                        help="override training_lr in the generated cfg "
+                             "(0 = keep the recipe default); used to anneal "
+                             "the lr on a --restart resume")
     args = parser.parse_args()
 
     import jax
@@ -812,6 +816,9 @@ def main():
                               "seq2seq_dropout=0.1\n"
                               "seq2seq_zeros_start=True")):
                 cfg_text = cfg_text.replace(key, val)
+        if args.lr > 0.0:
+            cfg_text = cfg_text.replace("\ntraining_lr=0.001",
+                                        f"\ntraining_lr={args.lr}")
         f.write(cfg_text)
     config = read_config(cfg_path)
     os.makedirs(os.path.join(config.folder, "pretraining"), exist_ok=True)
@@ -826,7 +833,15 @@ def main():
     trainer = Trainer(model, config)
     if args.restart:
         trainer.load_checkpoint()
-        print(f"resumed at epoch {trainer.epoch}", flush=True)
+        # preserve the log across resumes: the Trainer rewrites log.csv
+        # from its in-memory rows, which start empty in a fresh process
+        log_path = os.path.join(config.folder, "training", "log.csv")
+        if os.path.isfile(log_path):
+            import pandas as pd
+
+            trainer._rows = pd.read_csv(log_path, index_col=0).to_dict("records")
+        print(f"resumed at epoch {trainer.epoch} ({len(trainer._rows)} log rows)",
+              flush=True)
     import contextlib
     import io
 
@@ -842,6 +857,8 @@ def main():
             f"p50 step {row.get('step_ms_p50', 0):.1f} ms)",
             flush=True,
         )
+        if (epoch + 1) % 10 == 0:  # killable/resumable long demo runs
+            trainer.save_checkpoint()
     trainer.save_checkpoint()
     with contextlib.redirect_stdout(io.StringIO()):
         tacc, tloss = trainer.test(test, log_set="test")
@@ -877,7 +894,9 @@ def _emit_demo_artifact(args, config, valid_acc, test_acc):
             {
                 "device": jax.devices()[0].device_kind,
                 "n_train": args.n_train,
-                "epochs": args.epochs,
+                # total trained epochs across --restart resumes (the log is
+                # append-through-resume), not just this invocation's count
+                "epochs": int((df["set"] == "train").sum()),
                 "seq2seq": bool(args.seq2seq),
                 "final_valid_acc": round(float(valid_acc), 4),
                 "test_acc": round(float(test_acc), 4),
