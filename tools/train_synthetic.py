@@ -688,10 +688,22 @@ def main():
                              "type{N}_results.csv artifacts")
     parser.add_argument("--restart", action="store_true",
                         help="resume from the phase checkpoint (incl. optimizer state)")
+    parser.add_argument("--dims", type=int, default=64,
+                        help="seq2seq head width (encoder/decoder/key/value "
+                             "dims) for the --seq2seq demo; 64 is the golden-"
+                             "gate recipe, 128 converges faster on the "
+                             "336-combo demo task now that seq2seq_dropout/"
+                             "seq2seq_zeros_start unblock it")
     parser.add_argument("--lr", type=float, default=0.0,
                         help="override training_lr in the generated cfg "
                              "(0 = keep the recipe default); used to anneal "
                              "the lr on a --restart resume")
+    parser.add_argument("--stop-at", type=float, default=0.0,
+                        help="early-stop the demo loop once valid acc "
+                             "reaches this (0 = run all --epochs); lets one "
+                             "long invocation (one cold compile) stop itself "
+                             "at the target instead of paying a recompile "
+                             "per resume chunk")
     args = parser.parse_args()
 
     import jax
@@ -795,7 +807,8 @@ def main():
             for key in ("intent_encoder_dim=128", "intent_decoder_dim=256",
                         "intent_decoder_key_dim=128",
                         "intent_decoder_value_dim=256"):
-                cfg_text = cfg_text.replace(key, key.split("=")[0] + "=64")
+                cfg_text = cfg_text.replace(
+                    key, key.split("=")[0] + f"={args.dims}")
             for key, val in (("phone_rnn_drop=0.5,0.5", "phone_rnn_drop=0.0,0.0"),
                              ("word_rnn_drop=0.5,0.5", "word_rnn_drop=0.0,0.0"),
                              ("intent_rnn_drop=0.5", "intent_rnn_drop=0.0"),
@@ -859,6 +872,10 @@ def main():
         )
         if (epoch + 1) % 10 == 0:  # killable/resumable long demo runs
             trainer.save_checkpoint()
+        if args.stop_at > 0.0 and vacc >= args.stop_at:
+            print(f"early stop: valid acc {vacc:.3f} >= {args.stop_at}",
+                  flush=True)
+            break
     trainer.save_checkpoint()
     with contextlib.redirect_stdout(io.StringIO()):
         tacc, tloss = trainer.test(test, log_set="test")
