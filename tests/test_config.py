@@ -125,3 +125,45 @@ def test_ablation_cfg_writer(tmp_path):
     assert config.test_wording_path == wp[1]
     # type 3 starts the ULMFiT walk inside the word stack (ref data.py:79-82)
     assert config.starting_unfreezing_index == 1
+
+
+def test_seq2seq_demo_cfg_text(tmp_path):
+    """tools/train_synthetic._demo_cfg_text pins the seq2seq demo recipe:
+    --from-pretrained yields the reference's actual seq2seq setting
+    (pretrained encoder + ULMFiT, ref main.py:24-69) with the two r5
+    convergence levers (seq2seq_dropout, seq2seq_zeros_start) and the
+    --dims head width; without it, the scratch variant keeps
+    pretraining/unfreezing off."""
+    import argparse
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import train_synthetic as ts
+
+    def cfg_for(**kw):
+        base = dict(workdir=str(tmp_path), epochs=2, seq2seq=True,
+                    from_pretrained=False, dims=64, lr=0.0)
+        base.update(kw)
+        args = argparse.Namespace(**base)
+        path = tmp_path / "s2s.cfg"
+        path.write_text(ts._demo_cfg_text(args, str(tmp_path / "slu"),
+                                          str(tmp_path / "exp")))
+        return read_config(str(path))
+
+    config = cfg_for(from_pretrained=True, dims=96, lr=3e-4)
+    assert config.seq2seq is True
+    assert config.pretraining_type == 2
+    assert config.unfreezing_type == 1
+    assert config.asr_path == os.path.join(str(tmp_path), "libri_synth")
+    assert config.seq2seq_dropout == 0.1
+    assert config.seq2seq_zeros_start is True
+    assert config.intent_decoder_dim == 96
+    assert config.intent_decoder_key_dim == 96
+    assert config.training_lr == 3e-4
+    assert config.training_batch_size == 32
+
+    scratch = cfg_for()
+    assert scratch.pretraining_type == 0
+    assert scratch.unfreezing_type == 0
+    assert scratch.intent_decoder_dim == 64
+    assert scratch.phone_rnn_drop == [0.0, 0.0]

@@ -656,6 +656,69 @@ def run_types(args):
         print(f"artifacts -> {args.out_dir}", flush=True)
 
 
+def _demo_cfg_text(args, slu_root, folder):
+    """Cfg text for the plain / --seq2seq / --seq2seq --from-pretrained
+    demos. Extracted from main() so the recipe contract is testable
+    (tests/test_config.py)."""
+    cfg_text = CFG.format(folder=folder, slu_path=slu_root,
+                          epochs=args.epochs)
+    if args.seq2seq:
+        # The measured convergence recipe (the committed golden_seq2seq
+        # gate, tools/make_golden.py): decoder dims 64 at lr 1e-3 (the
+        # CFG default) and NO encoder/intent dropout. The seq2seq head
+        # already carries the reference's hardcoded 0.5 decoder dropout
+        # (reference models.py:403,454); stacking 0.5 encoder-RNN
+        # dropout on top of it demonstrably blocks convergence on this
+        # task — three recorded multi-epoch runs plateaued near the
+        # audio-blind loss (r4 dims 128/256 lr 5e-4: acc 0.09 @ 40
+        # epochs; r5 dims 128/256 lr 1e-3: 0.035 @ 30; r5 dims 64
+        # lr 1e-3 WITH 0.5 encoder dropout: 0.05 @ 67) while the
+        # fixed-slot head converges fine with it (its CE loss doesn't
+        # pass through an autoregressive attention decoder). The golden
+        # gate, identical except dropout 0, reached valid acc 1.0 in
+        # ~21 epochs.
+        cfg_text += "seq2seq=True\n"
+        for key in ("intent_encoder_dim=128", "intent_decoder_dim=256",
+                    "intent_decoder_key_dim=128",
+                    "intent_decoder_value_dim=256"):
+            cfg_text = cfg_text.replace(
+                key, key.split("=")[0] + f"={args.dims}")
+        for key, val in (("phone_rnn_drop=0.5,0.5", "phone_rnn_drop=0.0,0.0"),
+                         ("word_rnn_drop=0.5,0.5", "word_rnn_drop=0.0,0.0"),
+                         ("intent_rnn_drop=0.5", "intent_rnn_drop=0.0"),
+                         # newline-anchored: "training_batch_size" is a
+                         # substring of "pretraining_batch_size"
+                         ("\ntraining_batch_size=64", "\ntraining_batch_size=32"),
+                         # two decisive levers (see config.py):
+                         # seq2seq_dropout — the reference's hardcoded
+                         # 0.5 stalls this task's optimization; and
+                         # seq2seq_zeros_start — the reference's
+                         # train(one-hot SOS)/decode(zeros) first-step
+                         # mismatch mode-collapses the action slot AT
+                         # DECODE TIME no matter how well training
+                         # converges (probed: 56/64 then 51/64 wrong
+                         # actions on otherwise-learning checkpoints)
+                         ("intent_rnn_bidirectional=True",
+                          "intent_rnn_bidirectional=True\n"
+                          "seq2seq_dropout=0.1\n"
+                          "seq2seq_zeros_start=True")):
+            cfg_text = cfg_text.replace(key, val)
+    if args.seq2seq and args.from_pretrained:
+        # The reference's actual seq2seq setting (main.py:24-69): a
+        # pretrained encoder + the ULMFiT unfreeze schedule.
+        asr_root = os.path.join(args.workdir, "libri_synth")
+        cfg_text = (
+            cfg_text
+            .replace("asr_path=unused", f"asr_path={asr_root}")
+            .replace("pretraining_type=0", "pretraining_type=2")
+            .replace("unfreezing_type=0", "unfreezing_type=1")
+            .replace("vocabulary_size=10000", "vocabulary_size=30"))
+    if args.lr > 0.0:
+        cfg_text = cfg_text.replace("\ntraining_lr=0.001",
+                                    f"\ntraining_lr={args.lr}")
+    return cfg_text
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=6)
@@ -808,61 +871,8 @@ def main():
         "s2s_exp" if args.seq2seq else "exp")
     cfg_path = os.path.join(args.workdir, f"{name}.cfg")
     with open(cfg_path, "w") as f:
-        cfg_text = CFG.format(folder=os.path.join(args.workdir, name),
-                              slu_path=slu_root, epochs=args.epochs)
-        if args.seq2seq:
-            # The measured convergence recipe (the committed golden_seq2seq
-            # gate, tools/make_golden.py): decoder dims 64 at lr 1e-3 (the
-            # CFG default) and NO encoder/intent dropout. The seq2seq head
-            # already carries the reference's hardcoded 0.5 decoder dropout
-            # (reference models.py:403,454); stacking 0.5 encoder-RNN
-            # dropout on top of it demonstrably blocks convergence on this
-            # task — three recorded multi-epoch runs plateaued near the
-            # audio-blind loss (r4 dims 128/256 lr 5e-4: acc 0.09 @ 40
-            # epochs; r5 dims 128/256 lr 1e-3: 0.035 @ 30; r5 dims 64
-            # lr 1e-3 WITH 0.5 encoder dropout: 0.05 @ 67) while the
-            # fixed-slot head converges fine with it (its CE loss doesn't
-            # pass through an autoregressive attention decoder). The golden
-            # gate, identical except dropout 0, reached valid acc 1.0 in
-            # ~21 epochs.
-            cfg_text += "seq2seq=True\n"
-            for key in ("intent_encoder_dim=128", "intent_decoder_dim=256",
-                        "intent_decoder_key_dim=128",
-                        "intent_decoder_value_dim=256"):
-                cfg_text = cfg_text.replace(
-                    key, key.split("=")[0] + f"={args.dims}")
-            for key, val in (("phone_rnn_drop=0.5,0.5", "phone_rnn_drop=0.0,0.0"),
-                             ("word_rnn_drop=0.5,0.5", "word_rnn_drop=0.0,0.0"),
-                             ("intent_rnn_drop=0.5", "intent_rnn_drop=0.0"),
-                             # newline-anchored: "training_batch_size" is a
-                             # substring of "pretraining_batch_size"
-                             ("\ntraining_batch_size=64", "\ntraining_batch_size=32"),
-                             # two decisive levers (see config.py):
-                             # seq2seq_dropout — the reference's hardcoded
-                             # 0.5 stalls this task's optimization; and
-                             # seq2seq_zeros_start — the reference's
-                             # train(one-hot SOS)/decode(zeros) first-step
-                             # mismatch mode-collapses the action slot AT
-                             # DECODE TIME no matter how well training
-                             # converges (probed: 56/64 then 51/64 wrong
-                             # actions on otherwise-learning checkpoints)
-                             ("intent_rnn_bidirectional=True",
-                              "intent_rnn_bidirectional=True\n"
-                              "seq2seq_dropout=0.1\n"
-                              "seq2seq_zeros_start=True")):
-                cfg_text = cfg_text.replace(key, val)
-        if args.seq2seq and args.from_pretrained:
-            asr_root = os.path.join(args.workdir, "libri_synth")
-            cfg_text = (
-                cfg_text
-                .replace("asr_path=unused", f"asr_path={asr_root}")
-                .replace("pretraining_type=0", "pretraining_type=2")
-                .replace("unfreezing_type=0", "unfreezing_type=1")
-                .replace("vocabulary_size=10000", "vocabulary_size=30"))
-        if args.lr > 0.0:
-            cfg_text = cfg_text.replace("\ntraining_lr=0.001",
-                                        f"\ntraining_lr={args.lr}")
-        f.write(cfg_text)
+        f.write(_demo_cfg_text(args, slu_root,
+                               os.path.join(args.workdir, name)))
     config = read_config(cfg_path)
     if args.seq2seq and args.from_pretrained:
         # phase 1 (reference main.py:24-38): dual-head ASR pretraining into
